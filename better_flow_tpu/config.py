@@ -1,0 +1,141 @@
+"""Typed configuration for the whole framework.
+
+The reference spreads configuration over three tiers: compile-time macros
+(common.h:38-64, bf_motion_compensator.cpp:6-10), a hand-rolled CLI parser
+(bf_motion_compensator.cpp:36-130) and ROS params (bf_visualizer.cpp:275-292).
+Here a single set of frozen dataclasses feeds both the CLI and the library;
+every field that shapes a jitted computation is a static (hashable) jit-time
+constant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# --- Global numeric conventions (reference: common.h:58-64) -----------------
+# Z (time) component of the direction vector; "can be anything, as long as
+# variables do not overflow" (common.h:58-60).
+NZ: int = 127
+# The event timestamp is divided by T_DIVIDER (integer), converted to float
+# and additionally divided by 10000 (common.h:62-64, event.h:164-168).
+T_DIVIDER: int = 1
+# Nanoseconds per "warp time unit": pr = fr - (n/nz) * (t/T_DIVIDER) / 1e4.
+WARP_TIME_DIV: float = 10000.0
+# px/s per unit n at nz=1: u = nx * UV_FACTOR / nz  (event.h:131-142).
+UV_FACTOR: float = 1e9 / (T_DIVIDER * 10000.0)  # = 1e5
+
+# Nonzero threshold used by every masked image op (accel_lib.h:534, 599,
+# object_model.cpp:22, 114).
+NONZERO_EPS: float = 0.000001
+
+
+def from_sec(seconds: float) -> int:
+    """Seconds -> integer nanoseconds (reference FROM_SEC, common.h:35)."""
+    return int(1_000_000_000 * seconds)
+
+
+def from_ms(ms: float) -> int:
+    """Milliseconds -> integer nanoseconds (reference FROM_MS, common.h:36)."""
+    return int(1_000_000 * ms)
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Camera geometry.
+
+    The reference hardcodes RES_X=180, RES_Y=240 (common.h:39-40) with the
+    x axis indexing image *rows* and y indexing *columns* (events are read
+    with x/y swapped relative to the file, event_file.h:60).  Here the
+    resolution is configuration so DAVIS 346x260 and megapixel sensors are
+    first-class (BASELINE.json configs 3 and 5).
+    """
+
+    res_x: int = 180  # rows
+    res_y: int = 240  # cols
+
+
+@dataclasses.dataclass(frozen=True)
+class SliceConfig:
+    """Sliding-slice geometry and retrigger thresholds.
+
+    Mirrors the reference's compile-time EVENT_WIDTH/TIME_WIDTH
+    (bf_motion_compensator.cpp:6-7) and runtime refresh flags (:9-10).
+    """
+
+    max_events: int = 50_000          # ring capacity (EVENT_WIDTH)
+    span_ns: int = from_sec(0.2)      # time-span eviction (TIME_WIDTH)
+    refresh_events: int = 20_000      # retrigger on this many new events
+    refresh_time_ns: int = from_sec(0.033)  # or on this much elapsed time
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Global 4-parameter optimizer settings (optimizer_rolling.h).
+
+    ``scale`` is the image super-resolution factor (odd; assert at
+    optimizer_rolling.h:274).  ``max_iter`` < 0 means unbounded, matching
+    set_maxiter(-1) (dvs_flow.h:109).  The divider schedule and convergence
+    thresholds transcribe optimizer_rolling.h:48-101.
+    """
+
+    scale: int = 3
+    max_iter: int = -1
+    min_events: int = 1000            # size gate (optimizer_rolling.h:57)
+    # Initial adaptive-step dividers (optimizer_rolling.h:61-63).
+    init_xy_divider: float = 1.0
+    init_rotdiv_divider: float = 10_000.0
+    # Loop continues while any divider is below its cap (:76-79).
+    xy_divider_cap: float = 32.0 * 10.0
+    rotdiv_divider_cap: float = 32.0 * 1000.0
+    # Delta convergence thresholds (:81-84).
+    dx_tol: float = 1e-5
+    dy_tol: float = 1e-5
+    rot_tol: float = 1e-4
+    div_tol: float = 1e-1
+    # Window-size gate: skip when both scaled window dims are below
+    # scale*RES/15 (optimizer_rolling.h:49; integer division).
+    min_window_fraction: int = 15
+    # Hard bound on lax.while_loop iterations when max_iter < 0.  The
+    # reference's divider caps guarantee termination (each divider at most
+    # doubles ~9 times per parameter before its cap) but we bound the device
+    # loop defensively; 250 is far above anything observed.
+    iter_hard_cap: int = 250
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end streaming pipeline configuration (DVS_flow equivalent)."""
+
+    sensor: SensorConfig = dataclasses.field(default_factory=SensorConfig)
+    slice: SliceConfig = dataclasses.field(default_factory=SliceConfig)
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    # Do not warm-start from the previous slice's model (--stm-disable,
+    # bf_motion_compensator.cpp:46, dvs_flow.h:137-139).
+    stm_disable: bool = False
+    # Accumulate processed slices for offline output (dvs_flow.h:100-103).
+    accumulate: bool = False
+    # Optional picture/video generation (dvs_flow.h:114-135).
+    generate_pictures: bool = False
+    img_prefix: str = "./"
+    generate_video: bool = False
+    video_name: str = "./out.mp4"
+    video_fps: int = 60
+    quiet: bool = True
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def low_latency_config() -> PipelineConfig:
+    """The ROS live preset: 30k events / 0.07 s slices, scale 1, max 10
+    iterations (bf_visualizer.cpp:33-34, 102-104)."""
+    return PipelineConfig(
+        slice=SliceConfig(
+            max_events=30_000,
+            span_ns=from_sec(0.07),
+            refresh_events=30_000,
+            refresh_time_ns=from_sec(0.05),
+        ),
+        optimizer=OptimizerConfig(scale=1, max_iter=10),
+    )

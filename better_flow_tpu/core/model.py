@@ -1,0 +1,59 @@
+"""The 4-parameter global motion model as an immutable pytree.
+
+Reference: ObjectModel (object_model.h:8-72) — centroid (cx, cy),
+per-iteration deltas (dx, dy, rot, div), nonzero-pixel count, and the
+accumulated totals that define the current warp.  Here it is a NamedTuple of
+f32 scalars, carried through ``lax.while_loop`` and across slices as the
+warm-start state (dvs_flow.h:38-39, 218-224).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class MotionModel(NamedTuple):
+    cx: jnp.ndarray   # centroid, image or event coords depending on stage
+    cy: jnp.ndarray
+    dx: jnp.ndarray   # last iteration's raw deltas (means of gradients)
+    dy: jnp.ndarray
+    rot: jnp.ndarray
+    div: jnp.ndarray
+    cnt: jnp.ndarray  # nonzero-pixel count of the last time image (f32)
+    total_dx: jnp.ndarray   # accumulated warp parameters
+    total_dy: jnp.ndarray
+    total_rot: jnp.ndarray
+    total_div: jnp.ndarray
+
+    @staticmethod
+    def zero() -> "MotionModel":
+        z = jnp.float32(0.0)
+        return MotionModel(z, z, z, z, z, z, z, z, z, z, z)
+
+    def update_accumulators(self, d_rot, d_div, d_x, d_y) -> "MotionModel":
+        """total_p += p / divider — the gradient step.
+
+        Argument order matches ObjectModel::update_accumulators(d1..d4)
+        (object_model.h:48-53): d1 divides rot, d2 div, d3 dx, d4 dy.  The
+        production call site passes (rot_divider, div_divider, x_divider,
+        y_divider) (optimizer_rolling.h:328).
+        """
+        return self._replace(
+            total_rot=self.total_rot + self.rot / d_rot,
+            total_div=self.total_div + self.div / d_div,
+            total_dx=self.total_dx + self.dx / d_x,
+            total_dy=self.total_dy + self.dy / d_y,
+        )
+
+    def pretty(self) -> str:
+        """Host-side pretty print (ObjectModel::operator<<, object_model.h:55-63)."""
+        return (
+            f"C: ({float(self.cx)}, {float(self.cy)}); \n"
+            f"\t Shift: ({float(self.dx)}, {float(self.dy)}); "
+            f" total: ({float(self.total_dx)}, {float(self.total_dy)});\n"
+            f"\t Rot: {float(self.rot)} total: {float(self.total_rot)}\n"
+            f"\t Div: {float(self.div)} total: {float(self.total_div)}\n"
+            f"\t cnt: {int(self.cnt)}"
+        )

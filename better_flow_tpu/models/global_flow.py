@@ -1,0 +1,313 @@
+"""Global 4-parameter motion flow — the production optimizer, fully on device.
+
+Reference: OptimizerRolling (optimizer_rolling.h) driving ObjectModel
+(object_model.cpp).  One slice is processed as:
+
+    reset -> warm-start warp -> [time image -> Scharr -> 4 masked means ->
+    accumulator step -> re-warp every event] repeated under the adaptive
+    divider schedule until convergence.
+
+TPU design:
+* The whole iteration is one fused dense computation over a *static* image
+  (scale*res + scale per axis) — the reference's dynamic bbox window is
+  reproduced exactly by applying the same shifts and rejection bounds as
+  traced scalars while leaving out-of-window pixels zero (they are invisible
+  to every masked reduction).  No dynamic shapes, no recompilation per slice.
+* The data-dependent iteration count (optimizer_rolling.h:76-101) runs as a
+  ``lax.while_loop`` whose carry holds (pr, n, model, dividers, iter).
+* Per-event mutable state of the C++ (Event::pr_*, n*) is the loop carry;
+  events themselves are immutable SoA tensors.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from better_flow_tpu.config import OptimizerConfig, SensorConfig
+from better_flow_tpu.core.events import EventSlice, bounding_box
+from better_flow_tpu.core.model import MotionModel
+from better_flow_tpu.ops.gradient import masked_scharr
+from better_flow_tpu.ops.reductions import center_of_mass, model_compute
+from better_flow_tpu.ops.time_image import time_image
+from better_flow_tpu.ops.warp import compute_uv, project_4param_reinit
+
+
+class SliceGeometry(NamedTuple):
+    """Scaled-window geometry of one slice (optimizer_rolling.h:248-283)."""
+
+    x_shift: jnp.ndarray  # f32 (traced)
+    y_shift: jnp.ndarray
+    w_dyn: jnp.ndarray    # i32 scaled bbox extent (metric_wsizex)
+    h_dyn: jnp.ndarray
+    window_small: jnp.ndarray  # bool: the size gate fired (:49)
+
+
+def slice_geometry(
+    ev: EventSlice, scale: int, sensor: SensorConfig, min_window_fraction: int = 15,
+    axis_name=None,
+) -> SliceGeometry:
+    x_min, x_max, y_min, y_max = bounding_box(ev, axis_name=axis_name)
+    wx = scale * (x_max - x_min)
+    wy = scale * (y_max - y_min)
+    # x_shift = -((x_max-x_min)/2 + x_min)*scale + wx/2.0 + scale/2, with the
+    # reference's integer divisions (optimizer_rolling.h:279-283).
+    half = scale // 2
+    x_shift = (
+        -((x_max - x_min) // 2 + x_min).astype(jnp.float32) * scale
+        + wx.astype(jnp.float32) / 2.0
+        + half
+    )
+    y_shift = (
+        -((y_max - y_min) // 2 + y_min).astype(jnp.float32) * scale
+        + wy.astype(jnp.float32) / 2.0
+        + half
+    )
+    # Gate: both scaled window dims below scale*RES/15 (integer division),
+    # optimizer_rolling.h:49.  scale_img = w + scale.
+    window_small = ((wx + scale) < (scale * sensor.res_x) // 15) & (
+        (wy + scale) < (scale * sensor.res_y) // 15
+    )
+    return SliceGeometry(x_shift, y_shift, wx, wy, window_small)
+
+
+def static_image_shape(scale: int, sensor: SensorConfig) -> Tuple[int, int]:
+    """Static (H, W) covering any dynamic window: scale*res + scale."""
+    return sensor.res_x * scale + scale, sensor.res_y * scale + scale
+
+
+class GlobalFlowState(NamedTuple):
+    """lax.while_loop carry for OptimizerRolling::run."""
+
+    pr_x: jnp.ndarray
+    pr_y: jnp.ndarray
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    model: MotionModel
+    x_div: jnp.ndarray
+    y_div: jnp.ndarray
+    rot_div: jnp.ndarray
+    div_div: jnp.ndarray
+    iters: jnp.ndarray
+
+
+class SliceResult(NamedTuple):
+    model: MotionModel      # event-coordinate centroid + accumulated totals
+    pr_x: jnp.ndarray       # final projected positions
+    pr_y: jnp.ndarray
+    nx: jnp.ndarray         # final direction vectors
+    ny: jnp.ndarray
+    u: jnp.ndarray          # per-event flow, px/s (compute_uv)
+    v: jnp.ndarray
+    noise: jnp.ndarray      # updated noise flags
+    iters: jnp.ndarray      # optimizer iterations executed (0 if gated)
+    ran: jnp.ndarray        # whether the optimizer ran
+
+
+def _iteration_step(
+    state: GlobalFlowState,
+    ev: EventSlice,
+    geom: SliceGeometry,
+    scale: int,
+    H: int,
+    W: int,
+    axis_name=None,
+) -> GlobalFlowState:
+    """One optimizer iteration (OptimizerRolling::iteration_step,
+    optimizer_rolling.h:305-347)."""
+    img = time_image(
+        state.pr_x,
+        state.pr_y,
+        ev.t,
+        ev.active,
+        scale,
+        geom.x_shift,
+        geom.y_shift,
+        geom.w_dyn,
+        geom.h_dyn,
+        H,
+        W,
+        axis_name=axis_name,
+    )
+    # fast_model == ObjectModel::update: centroid then the four means
+    # (object_model.h:31-34, object_model.cpp:4-39, 103-126).
+    cx_img, cy_img, _ = center_of_mass(img)
+    gx, gy = masked_scharr(img)
+    terms = model_compute(img, gx, gy, cx_img, cy_img)
+    model = state.model._replace(
+        cx=cx_img, cy=cy_img, dx=terms.dx, dy=terms.dy,
+        rot=terms.rot, div=terms.div, cnt=terms.cnt,
+    )
+    # total_p += p / divider (optimizer_rolling.h:328; argument order
+    # rot, div, x, y per object_model.h:48-53).
+    model = model.update_accumulators(
+        state.rot_div, state.div_div, state.x_div, state.y_div
+    )
+    # Centroid back to event coordinates (optimizer_rolling.h:330-331).
+    cx_ev = (model.cx - geom.x_shift) / scale
+    cy_ev = (model.cy - geom.y_shift) / scale
+    # Re-warp every event from scratch using the accumulated totals with the
+    # production sign pattern (optimizer_rolling.h:340-344).
+    pr_x, pr_y, nx, ny = project_4param_reinit(
+        ev.x,
+        ev.y,
+        ev.t,
+        state.pr_x,
+        state.pr_y,
+        -model.total_dx,
+        -model.total_dy,
+        cx_ev,
+        cy_ev,
+        model.total_div,
+        -model.total_rot,
+    )
+    model = model._replace(cx=cx_ev, cy=cy_ev)  # :345-346
+    return state._replace(
+        pr_x=pr_x, pr_y=pr_y, nx=nx, ny=ny, model=model,
+        iters=state.iters + 1,
+    )
+
+
+def _run_optimizer(
+    init: GlobalFlowState,
+    ev: EventSlice,
+    geom: SliceGeometry,
+    scale: int,
+    H: int,
+    W: int,
+    cfg: OptimizerConfig,
+    axis_name=None,
+) -> GlobalFlowState:
+    """OptimizerRolling::run's adaptive loop (optimizer_rolling.h:60-111)."""
+    state = init._replace(
+        x_div=jnp.float32(cfg.init_xy_divider),
+        y_div=jnp.float32(cfg.init_xy_divider),
+        rot_div=jnp.float32(cfg.init_rotdiv_divider),
+        div_div=jnp.float32(cfg.init_rotdiv_divider),
+        iters=jnp.int32(0),
+    )
+    # One unconditional first step (:73-74).
+    state = _iteration_step(state, ev, geom, scale, H, W, axis_name)
+
+    def cond(s: GlobalFlowState):
+        m = s.model
+        dividers_open = (
+            (s.x_div < cfg.xy_divider_cap)
+            | (s.y_div < cfg.xy_divider_cap)
+            | (s.rot_div < cfg.rotdiv_divider_cap)
+            | (s.div_div < cfg.rotdiv_divider_cap)
+        )
+        small = (
+            (jnp.abs(m.dx / s.x_div) < cfg.dx_tol)
+            & (jnp.abs(m.dy / s.y_div) < cfg.dy_tol)
+            & (jnp.abs(m.rot / s.rot_div) < cfg.rot_tol)
+            & (jnp.abs(m.div / s.div_div) < cfg.div_tol)
+        )
+        over_max = (cfg.max_iter > 0) & (s.iters > cfg.max_iter)
+        return dividers_open & ~small & ~over_max & (s.iters < cfg.iter_hard_cap)
+
+    def body(s: GlobalFlowState):
+        old = (s.model.dx, s.model.dy, s.model.rot, s.model.div)
+        s = _iteration_step(s, ev, geom, scale, H, W, axis_name)
+        m = s.model
+        # Divider doubling on sign flips (:98-101).
+        return s._replace(
+            x_div=jnp.where(m.dx * old[0] < 0, s.x_div * 2, s.x_div),
+            y_div=jnp.where(m.dy * old[1] < 0, s.y_div * 2, s.y_div),
+            rot_div=jnp.where(m.rot * old[2] < 0, s.rot_div * 2, s.rot_div),
+            div_div=jnp.where(m.div * old[3] < 0, s.div_div * 2, s.div_div),
+        )
+
+    return lax.while_loop(cond, body, state)
+
+
+def process_slice(
+    ev: EventSlice,
+    last_model: MotionModel,
+    cfg: OptimizerConfig,
+    sensor: SensorConfig,
+    warm_start: bool = True,
+    axis_name=None,
+) -> SliceResult:
+    """Process one slice end to end — jit over static (capacity, scale, res).
+
+    Mirrors the per-slice sequence of DVS_flow::recompute (dvs_flow.h:207-235):
+    set_cloud (reset + geometry), set_model warm start unless disabled, run,
+    then per-event compute_uv.  ``warm_start`` corresponds to !stm_disable
+    (dvs_flow.h:218-219) and is a static flag.
+    """
+    scale = cfg.scale
+    H, W = static_image_shape(scale, sensor)
+    geom = slice_geometry(ev, scale, sensor, cfg.min_window_fraction, axis_name)
+
+    # set_cloud resets every event: pr = fr, n = 0 (event.h:54-59).
+    pr_x, pr_y = ev.x, ev.y
+    nx = jnp.zeros_like(ev.x)
+    ny = jnp.zeros_like(ev.y)
+
+    model = last_model if warm_start else MotionModel.zero()
+    # Warm-start warp (set_model, optimizer_rolling.h:289-299): re-apply the
+    # previous slice's accumulated warp about its event-coordinate centroid.
+    # With a zero model this is the identity.
+    pr_x, pr_y, nx, ny = project_4param_reinit(
+        ev.x, ev.y, ev.t, pr_x, pr_y,
+        -model.total_dx, -model.total_dy, model.cx, model.cy,
+        model.total_div, -model.total_rot,
+    )
+
+    n_events = jnp.sum(ev.valid.astype(jnp.int32))
+    if axis_name is not None:
+        n_events = lax.psum(n_events, axis_name)
+    too_few = n_events < cfg.min_events  # optimizer_rolling.h:57
+    ran = ~geom.window_small & ~too_few
+
+    init = GlobalFlowState(
+        pr_x=pr_x, pr_y=pr_y, nx=nx, ny=ny, model=model,
+        x_div=jnp.float32(1), y_div=jnp.float32(1),
+        rot_div=jnp.float32(1), div_div=jnp.float32(1),
+        iters=jnp.int32(0),
+    )
+    final = lax.cond(
+        ran,
+        lambda s: _run_optimizer(s, ev, geom, scale, H, W, cfg, axis_name),
+        lambda s: s,
+        init,
+    )
+
+    # The degenerate-window gate marks every event noise
+    # (optimizer_rolling.h:52-54); the too-few gate does not.
+    noise = ev.noise | (geom.window_small & ev.valid)
+
+    u, v = compute_uv(final.nx, final.ny)
+    return SliceResult(
+        model=final.model,
+        pr_x=final.pr_x,
+        pr_y=final.pr_y,
+        nx=final.nx,
+        ny=final.ny,
+        u=u,
+        v=v,
+        noise=noise,
+        iters=final.iters,
+        ran=ran,
+    )
+
+
+def final_time_image(
+    ev: EventSlice,
+    res: SliceResult,
+    scale: int,
+    sensor: SensorConfig,
+) -> jnp.ndarray:
+    """Time image of the converged (motion-compensated) slice — the decoded
+    output checked by the PSNR gate (BASELINE.md)."""
+    H, W = static_image_shape(scale, sensor)
+    geom = slice_geometry(ev, scale, sensor)
+    active = ev.valid & ~res.noise
+    return time_image(
+        res.pr_x, res.pr_y, ev.t, active, scale,
+        geom.x_shift, geom.y_shift, geom.w_dyn, geom.h_dyn, H, W,
+    )
