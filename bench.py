@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Throughput benchmark: events/s through the full motion-compensation
+pipeline at the reference's production configuration.
+
+Protocol (BASELINE.md): DVS 240x180 stream, sliding slices of <=50k events /
+0.2 s, retrigger every 20k events or 33 ms, scale 3 — the defaults of
+bf_motion_compensator (bf_motion_compensator.cpp:6-10).  The benchmark feeds
+a synthetic recording through the device-resident scanned pipeline
+(runtime/scan_pipeline.py), excludes the one-off jit compile via a warmup
+run, and reports sustained events/s.  vs_baseline is against the driver-set
+north star of 50 Mevents/s/chip (BASELINE.json; the reference publishes no
+numbers of its own — SURVEY.md §6).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from better_flow_tpu.config import PipelineConfig
+    from better_flow_tpu.io.synthetic import synthetic_events
+    from better_flow_tpu.runtime.scan_pipeline import compensate_recording_scan
+
+    n_events = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
+    cfg = PipelineConfig()  # reference defaults: 180x240, 50k/0.2s, 20k/33ms
+
+    # A 1 Mev/s synthetic stream (typical DVS rates) with moderate motion.
+    d = synthetic_events(
+        n_events,
+        duration_s=n_events / 1_000_000,
+        res_x=cfg.sensor.res_x,
+        res_y=cfg.sensor.res_y,
+        vx=60.0,
+        vy=-40.0,
+        rot=0.12,
+        div=0.05,
+        n_points=800,
+        seed=42,
+    )
+    n_real = len(d["x"])
+
+    # Warmup: compile the scan program on a small prefix.
+    k = min(200_000, n_real)
+    compensate_recording_scan(d["x"][:k], d["y"][:k], d["t_ns"][:k], cfg)
+
+    out = compensate_recording_scan(d["x"], d["y"], d["t_ns"], cfg)
+    st = out["stats"]
+
+    value = st["events_per_s"]
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_throughput",
+                "value": round(value, 1),
+                "unit": "events/s",
+                "vs_baseline": round(value / 50e6, 5),
+                "detail": {
+                    "n_events": st["n_events"],
+                    "n_slices": st["n_slices"],
+                    "run_s": round(st["run_s"], 4),
+                    "plan_s": round(st["plan_s"], 4),
+                    "mean_iters": round(st["mean_iters"], 2),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""Device-resident offline pipeline: ``lax.scan`` over slices.
+
+The streaming DVSFlow runtime round-trips to the host per slice (as the
+reference does implicitly — its whole loop is host code).  For offline
+(bufferized) processing this pipeline removes every per-slice host sync:
+
+1. Host: compute trigger points and slice membership with numpy (pure
+   count/timestamp arithmetic, dvs_flow.h:163-193) — each slice is a
+   contiguous tail window [b-len+1, b] of the chronological recording, where
+   ``len`` is bounded by the ring capacity and the time span.
+2. Host: materialize [S, CAP] SoA slice tensors (x, y, slice-local t in
+   exact int64 ns subtracted on host, so the device never needs 64-bit
+   timestamps) plus per-slice lengths and original-index matrices.
+3. Device: one jitted ``lax.scan`` whose carry is (motion model, recording-
+   wide noise flags); each step runs the full while-loop optimizer
+   (models.global_flow.process_slice).  The warm-start chain across slices
+   (dvs_flow.h:215-224) is exactly the scan carry.
+
+This is the throughput path benchmarked by bench.py.  Accumulated output
+uses first-slice-wins per original event index — identical to the
+reference's get_accumulated dedupe (dvs_flow.h:350-389) for true duplicate
+events; the additional near-match merge of *distinct* events within 0.1 ms
+at one pixel (an operator== quirk, event.h:40-45) is only applied by the
+streaming runtime.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from better_flow_tpu.config import PipelineConfig
+from better_flow_tpu.core.events import EventSlice
+from better_flow_tpu.core.model import MotionModel
+from better_flow_tpu.models.global_flow import process_slice
+
+
+class SlicePlan(NamedTuple):
+    """Host-side slicing of a recording (numpy)."""
+
+    starts: np.ndarray       # [S] first original index of each slice
+    ends: np.ndarray         # [S] last original index (the trigger event)
+    slice_start_ns: np.ndarray  # [S] slice-local time origin
+
+
+def plan_slices(t_ns: np.ndarray, cfg: PipelineConfig) -> SlicePlan:
+    """Compute trigger points and slice windows (dvs_flow.h:163-193).
+
+    Triggers: every ``refresh_events`` new events or ``refresh_time_ns``
+    elapsed, whichever first.  Window at trigger b: the newest events with
+    count <= max_events and latest - ts <= span_ns.  A final flush trigger
+    covers the tail (bf_motion_compensator.cpp:208).
+    """
+    sl = cfg.slice
+    n = len(t_ns)
+    ends = []
+    last_slice_time = 0
+    event_diff = 0
+    start = 0
+    while start < n:
+        i_count = start + (sl.refresh_events - event_diff) - 1
+        i_time = int(np.searchsorted(t_ns[start:], last_slice_time + sl.refresh_time_ns, "left")) + start
+        i = min(i_count, i_time)
+        if i >= n:
+            break
+        ends.append(i)
+        event_diff = 0
+        last_slice_time = int(t_ns[i])
+        start = i + 1
+    if not ends or ends[-1] != n - 1:
+        ends.append(n - 1)  # final flush recompute
+    ends = np.asarray(ends, np.int64)
+
+    # Window per trigger: capacity + span (CircularArray semantics).
+    latest = t_ns[ends]
+    span_first = np.searchsorted(t_ns, latest - sl.span_ns, side="left")
+    cap_first = np.maximum(ends - sl.max_events + 1, 0)
+    starts = np.maximum(span_first, cap_first)
+    lens = ends - starts + 1
+    # Slice-local origin (dvs_flow.h:186-193): oldest event's timestamp when
+    # the ring is full, else latest - span (clamped at 0).
+    full = lens == sl.max_events
+    slice_start = np.where(full, t_ns[starts], np.maximum(latest - sl.span_ns, 0))
+    return SlicePlan(starts=starts, ends=ends, slice_start_ns=slice_start)
+
+
+def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int):
+    """[S, CAP] SoA tensors + per-slice lengths and original indices."""
+    S = len(plan.ends)
+    xs = np.zeros((S, cap), np.float32)
+    ys = np.zeros((S, cap), np.float32)
+    ts = np.zeros((S, cap), np.float32)
+    idx = np.full((S, cap), -1, np.int64)
+    lens = (plan.ends - plan.starts + 1).astype(np.int32)
+    for s in range(S):
+        a, b = plan.starts[s], plan.ends[s] + 1
+        m = b - a
+        xs[s, :m] = x[a:b]
+        ys[s, :m] = y[a:b]
+        ts[s, :m] = (t_ns[a:b] - plan.slice_start_ns[s]).astype(np.float32)
+        idx[s, :m] = np.arange(a, b)
+    return xs, ys, ts, idx.astype(np.int32), lens
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_total"),
+)
+def _scan_slices(xs, ys, ts, idx, lens, init_model, cfg: PipelineConfig, n_total: int):
+    """One compiled program over all slices."""
+    cap = xs.shape[1]
+    opt = cfg.optimizer
+    sensor = cfg.sensor
+    warm = not cfg.stm_disable
+    pos = jnp.arange(cap, dtype=jnp.int32)
+
+    def step(carry, inputs):
+        model, noise_all = carry
+        sx, sy, st, sidx, slen = inputs
+        valid = pos < slen
+        safe_idx = jnp.where(valid, sidx, n_total)
+        noise = noise_all[jnp.minimum(safe_idx, n_total - 1)] & valid
+        ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise)
+        res = process_slice(ev, model, opt, sensor, warm_start=warm)
+        noise_all = noise_all.at[safe_idx].set(res.noise & valid, mode="drop")
+        out = (res.u, res.v, res.noise, res.iters, res.ran)
+        return (res.model, noise_all), out
+
+    noise0 = jnp.zeros((n_total,), bool)
+    (final_model, noise_all), outs = lax.scan(
+        step, (init_model, noise0), (xs, ys, ts, idx, lens)
+    )
+    return final_model, noise_all, outs
+
+
+def compensate_recording_scan(
+    x,
+    y,
+    t_ns,
+    cfg: Optional[PipelineConfig] = None,
+    init_model: Optional[MotionModel] = None,
+) -> dict:
+    """Process a whole recording with one device program.
+
+    Returns accumulated per-event flow (first-slice-wins, matching
+    get_accumulated), per-slice stats, and timing that separates compile
+    (first call) from steady-state execution.
+    """
+    cfg = cfg or PipelineConfig()
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    t_ns = np.ascontiguousarray(t_ns, np.int64)
+    n = len(x)
+    cap = cfg.slice.max_events
+
+    t_plan0 = time.perf_counter()
+    plan = plan_slices(t_ns, cfg)
+    xs, ys, ts, idx, lens = materialize_slices(x, y, t_ns, plan, cap)
+    t_plan = time.perf_counter() - t_plan0
+
+    model0 = init_model or MotionModel.zero()
+    t_run0 = time.perf_counter()
+    final_model, noise_all, (u, v, noise_s, iters, ran) = _scan_slices(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts), jnp.asarray(idx),
+        jnp.asarray(lens), model0, cfg, n,
+    )
+    jax.block_until_ready(final_model)
+    t_run = time.perf_counter() - t_run0
+
+    # First-slice-wins accumulation by original index.
+    u = np.asarray(u)
+    v = np.asarray(v)
+    noise_s = np.asarray(noise_s)
+    acc_u = np.zeros(n, np.float32)
+    acc_v = np.zeros(n, np.float32)
+    acc_noise = np.zeros(n, bool)
+    seen = np.zeros(n, bool)
+    S = len(plan.ends)
+    for s in range(S):
+        a, b = plan.starts[s], plan.ends[s] + 1
+        m = b - a
+        rng = np.arange(a, b)
+        fresh = ~seen[rng]
+        tgt = rng[fresh]
+        acc_u[tgt] = u[s, :m][fresh]
+        acc_v[tgt] = v[s, :m][fresh]
+        acc_noise[tgt] = noise_s[s, :m][fresh]
+        seen[rng] = True
+
+    return {
+        "u": acc_u,
+        "v": acc_v,
+        "noise": acc_noise,
+        "model": final_model,
+        "iters": np.asarray(iters),
+        "ran": np.asarray(ran),
+        "plan": plan,
+        "stats": {
+            "n_events": n,
+            "n_slices": S,
+            "plan_s": t_plan,
+            "run_s": t_run,
+            "events_per_s": n / t_run if t_run > 0 else 0.0,
+            "mean_iters": float(np.mean(np.asarray(iters))),
+        },
+    }
