@@ -55,7 +55,24 @@ def read_events(
     timestamps rebased to the first row (FROM_SEC truncation).  With
     ``max_t`` set, keeps events in (max_t - window_s, max_t] with the
     reference's drop-first-past-threshold quirk.
+
+    Full reads of real files go through the native C++ parser when built
+    (native/bf_native.cpp); windowed reads and file-like inputs use the
+    Python path.
     """
+    if max_t is None and isinstance(path, (str, bytes)) or (
+        max_t is None and hasattr(path, "__fspath__")
+    ):
+        try:
+            from better_flow_tpu.io import native
+
+            parsed = native.parse_events(path)
+            if parsed is not None:
+                return parsed
+        except FileNotFoundError:
+            raise
+        except Exception:
+            pass
     raw = _load_columns(path, 4)
     if raw.shape[0] == 0:
         return {
@@ -123,8 +140,17 @@ def write_events_uv(path, x, y, t_ns, u, v, maxt: float = 0.0) -> int:
 
     Emits ``t  y  x  1  v  u`` at 9-decimal fixed precision with the
     documented swap (comment at event_file.h:245), t in seconds (+maxt).
-    Returns number of rows written.
+    Returns number of rows written.  Uses the native C++ writer when built.
     """
+    if isinstance(path, (str, bytes)) or hasattr(path, "__fspath__"):
+        try:
+            from better_flow_tpu.io import native
+
+            n = native.write_events_uv(path, x, y, t_ns, u, v, maxt)
+            if n is not None:
+                return n
+        except Exception:
+            pass
     x = np.asarray(x)
     y = np.asarray(y)
     t_s = np.asarray(t_ns, np.float64) / 1e9 + maxt
