@@ -96,6 +96,10 @@ class OptimizerConfig:
     # Window-size gate: skip when both scaled window dims are below
     # scale*RES/15 (optimizer_rolling.h:49; integer division).
     min_window_fraction: int = 15
+    # Scatter strategy for the time/count images: "xla" (scatter-add),
+    # "rep" (8-way replica spreading), "mxu" (one-hot matmul — cost
+    # independent of index collisions; see ops.time_image._scatter_mxu).
+    scatter_mode: str = "xla"
     # Hard bound on lax.while_loop iterations when max_iter < 0.  The
     # reference's divider caps guarantee termination (each divider at most
     # doubles ~9 times per parameter before its cap) but we bound the device

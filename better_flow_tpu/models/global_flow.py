@@ -115,6 +115,7 @@ def _iteration_step(
     H: int,
     W: int,
     axis_name=None,
+    scatter_mode: str = "xla",
 ) -> GlobalFlowState:
     """One optimizer iteration (OptimizerRolling::iteration_step,
     optimizer_rolling.h:305-347)."""
@@ -131,6 +132,7 @@ def _iteration_step(
         H,
         W,
         axis_name=axis_name,
+        scatter_mode=scatter_mode,
     )
     # fast_model == ObjectModel::update: centroid then the four means
     # (object_model.h:31-34, object_model.cpp:4-39, 103-126).
@@ -190,7 +192,8 @@ def _run_optimizer(
         iters=jnp.int32(0),
     )
     # One unconditional first step (:73-74).
-    state = _iteration_step(state, ev, geom, scale, H, W, axis_name)
+    state = _iteration_step(state, ev, geom, scale, H, W, axis_name,
+                            cfg.scatter_mode)
 
     def cond(s: GlobalFlowState):
         m = s.model
@@ -211,7 +214,8 @@ def _run_optimizer(
 
     def body(s: GlobalFlowState):
         old = (s.model.dx, s.model.dy, s.model.rot, s.model.div)
-        s = _iteration_step(s, ev, geom, scale, H, W, axis_name)
+        s = _iteration_step(s, ev, geom, scale, H, W, axis_name,
+                            cfg.scatter_mode)
         m = s.model
         # Divider doubling on sign flips (:98-101).
         return s._replace(
