@@ -1,0 +1,99 @@
+"""CLI surfaces: motion compensator and viewer."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from better_flow_tpu.io.event_file import read_events_uv, write_events
+from better_flow_tpu.io.synthetic import synthetic_events
+
+ENV = dict(
+    os.environ,
+    PALLAS_AXON_POOL_IPS="",
+    JAX_PLATFORMS="cpu",
+    PYTHONPATH=os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    ),
+)
+
+
+def _run(args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m"] + args, env=ENV, capture_output=True,
+        text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def rec_file(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    d = synthetic_events(15000, duration_s=0.3, res_x=24, res_y=32,
+                         vx=20.0, vy=-14.0, seed=2)
+    p = str(tmp / "rec.txt")
+    write_events(p, d["x"], d["y"], d["t_ns"], d["polarity"])
+    return p
+
+
+BASE = [
+    "better_flow_tpu.cli.motion_compensator",
+    "--resolution", "24x32", "--max-events", "4000", "--time-width", "0.1",
+    "--refresh-event-count", "1500", "--refresh-time", "0.04",
+]
+
+
+def test_version():
+    r = _run(["better_flow_tpu.cli.motion_compensator", "--version"])
+    assert r.returncode == 0 and "better flow" in r.stdout
+
+
+def test_no_file_prints_usage():
+    r = _run(["better_flow_tpu.cli.motion_compensator"])
+    assert r.returncode == 1
+    assert "usage" in r.stdout.lower() or "usage" in r.stderr.lower()
+
+
+def test_scan_pipeline_output(rec_file, tmp_path):
+    out = str(tmp_path / "out.txt")
+    r = _run(BASE + [rec_file, "--scan", "-o", out, "--quiet"])
+    assert r.returncode == 0, r.stderr[-500:]
+    flow = read_events_uv(out)
+    assert len(flow["x"]) > 10000
+    ok = np.hypot(flow["u"], flow["v"]) > 1
+    assert abs(np.median(flow["u"][ok]) - 20.0) < 10.0
+
+
+def test_streaming_matches_scan(rec_file, tmp_path):
+    o1 = str(tmp_path / "o1.txt")
+    o2 = str(tmp_path / "o2.txt")
+    assert _run(BASE + [rec_file, "--scan", "-o", o1, "--quiet"]).returncode == 0
+    assert _run(BASE + [rec_file, "-o", o2, "--quiet"]).returncode == 0
+    f1, f2 = read_events_uv(o1), read_events_uv(o2)
+    assert len(f1["x"]) == len(f2["x"])
+    np.testing.assert_allclose(f1["u"], f2["u"], rtol=1e-3, atol=1e-3)
+
+
+def test_stm_disable_flag(rec_file, tmp_path):
+    out = str(tmp_path / "o3.txt")
+    r = _run(BASE + [rec_file, "--scan", "--stm-disable", "-o", out, "--quiet"])
+    assert r.returncode == 0
+
+
+def test_viewer_analysis(rec_file, tmp_path):
+    prefix = str(tmp_path / "v")
+    r = _run([
+        "better_flow_tpu.cli.viewer", rec_file, "0.0", "0.25",
+        "--out-prefix", prefix,
+    ])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "flow:" in r.stdout
+    assert os.path.exists(prefix + "_projected.png")
+    assert os.path.exists(prefix + "_sobel.png")
+
+
+def test_viewer_empty_window(rec_file):
+    r = _run(["better_flow_tpu.cli.viewer", rec_file, "9.0", "9.5"])
+    assert r.returncode == 1
