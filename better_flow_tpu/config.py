@@ -96,10 +96,14 @@ class OptimizerConfig:
     # Window-size gate: skip when both scaled window dims are below
     # scale*RES/15 (optimizer_rolling.h:49; integer division).
     min_window_fraction: int = 15
-    # Scatter strategy for the time/count images: "xla" (scatter-add),
-    # "rep" (8-way replica spreading), "mxu" (one-hot matmul — cost
-    # independent of index collisions; see ops.time_image._scatter_mxu).
-    scatter_mode: str = "xla"
+    # Scatter strategy for the time/count images: "auto" (fused Pallas
+    # kernel on TPU, XLA scatter elsewhere), "pallas" (force the fused
+    # VMEM-resident MXU kernel, ops/pallas/fused_model.py), "xla"
+    # (scatter-add), "rep" (8-way replica spreading), "mxu" (XLA-level
+    # one-hot matmul).  The Pallas kernel's cost is independent of index
+    # collisions (XLA scatter serializes colliding updates, which converged
+    # slices produce) and measured 1.6x faster end to end on v5e.
+    scatter_mode: str = "auto"
     # Hard bound on lax.while_loop iterations when max_iter < 0.  The
     # reference's divider caps guarantee termination (each divider at most
     # doubles ~9 times per parameter before its cap) but we bound the device

@@ -1,0 +1,272 @@
+"""Fused Pallas TPU kernel: events -> model-update terms in one pass.
+
+This is the hot path of the whole engine — the reference executes it as
+four separate stages per optimizer iteration (scatter-add time image,
+normalize, masked Scharr, four reductions; accel_lib.h:147-208, 513-615,
+object_model.cpp:4-39), and the XLA composition of those stages spends most
+of its time shuttling the ~400k-pixel image through HBM between ops.
+
+Here one `pallas_call` keeps the image resident in VMEM end to end:
+
+1. grid over event chunks: each chunk contributes its center-pixel splat via
+   **one-hot matmuls on the MXU** — ``img += (onehot_rows * w)^T @
+   onehot_cols`` — whose cost is independent of index collisions (XLA's
+   scatter serializes colliding updates, which is exactly what converged,
+   concentrated slices produce).  Counts are exact; the time weights use a
+   3-way bf16 split (hi+lo+lo2) for ~f32 accuracy.
+2. on the final grid step, still in VMEM: scale x scale box filter
+   (the footprint factorization), count-normalize, all-nine masked Scharr,
+   and the seven psum-combinable model partial sums
+   (ops.reductions.model_compute_partial semantics) written to a (1, 8)
+   output.
+
+The centroid correction happens outside via model_from_partials, making the
+same kernel usable per-tile under shard_map (partials are psum-combinable).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from better_flow_tpu.config import NONZERO_EPS
+
+CHUNK = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _roll(a, shift: int, axis: int):
+    """pltpu.roll with negative shifts (circular; wraps handled by the
+    caller's validity masking)."""
+    size = a.shape[axis]
+    return pltpu.roll(a, shift % size, axis)
+
+
+def _kernel(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref,
+            prx_c_ref, pry_c_ref, act_c_ref, out_ref,
+            acc_t, acc_c, *, scale: int, HP: int, WP: int, H: int, W: int):
+    pid = pl.program_id(0)
+    n_prog = pl.num_programs(0)
+    half = scale // 2
+
+    @pl.when(pid == 0)
+    def _init():
+        acc_t[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        acc_c[:, :] = jnp.zeros((HP, WP), jnp.float32)
+
+    # ---- per-chunk splat via one-hot matmuls -----------------------------
+    x_sh = scal_ref[0, 0]
+    y_sh = scal_ref[0, 1]
+    wd = scal_ref[0, 2]
+    hd = scal_ref[0, 3]
+
+    def accept(prx, pry, act):
+        fx = prx * jnp.float32(scale) + x_sh
+        fy = pry * jnp.float32(scale) + y_sh
+        ix = fx.astype(jnp.int32)   # trunc toward zero, like the C++ cast
+        iy = fy.astype(jnp.int32)
+        ok = (
+            (act > 0)
+            & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
+            & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
+        )
+        return ix, iy, ok
+
+    # Row-vector layout (1, CHUNK) feeds the row one-hot; column-vector
+    # layout (CHUNK, 1) feeds the column one-hot — the same event data in
+    # two orientations, prepared host-side, because Mosaic does not support
+    # the (1, C) <-> (C, 1) shape cast in-kernel.
+    prx_r = prx_r_ref[0]
+    pry_r = pry_r_ref[0]
+    t_sec = t_r_ref[0]
+    act_r = act_r_ref[0]
+    ix_r, _, ok_r = accept(prx_r, pry_r, act_r)
+    row = jnp.where(ok_r, ix_r, -1)                        # (1, CHUNK)
+
+    prx_c = prx_c_ref[0]
+    pry_c = pry_c_ref[0]
+    act_c = act_c_ref[0]
+    _, iy_c, ok_c = accept(prx_c, pry_c, act_c)
+    col = jnp.where(ok_c, iy_c, -1)                        # (CHUNK, 1)
+
+    rows_i = lax.broadcasted_iota(jnp.int32, (HP, CHUNK), 0)
+    cols_i = lax.broadcasted_iota(jnp.int32, (CHUNK, WP), 1)
+    oh_r = (rows_i == row).astype(jnp.bfloat16)            # (HP, CHUNK)
+    oh_c = (cols_i == col).astype(jnp.bfloat16)            # (CHUNK, WP)
+
+    w_hi = t_sec.astype(jnp.bfloat16)
+    r1 = t_sec - w_hi.astype(jnp.float32)
+    w_lo = r1.astype(jnp.bfloat16)
+    w_lo2 = (r1 - w_lo.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    for wch in (w_hi, w_lo, w_lo2):
+        contrib = jnp.dot(oh_r * wch, oh_c, preferred_element_type=jnp.float32)
+        acc_t[:, :] += contrib
+    acc_c[:, :] += jnp.dot(oh_r, oh_c, preferred_element_type=jnp.float32)
+
+    # ---- final step: box filter + normalize + Scharr + reductions --------
+    @pl.when(pid == n_prog - 1)
+    def _finish():
+        def box(acc):
+            # separable: row pass then column pass (fewer live temporaries)
+            a = acc[:, :]
+            r = a
+            for dr in range(1, half + 1):
+                r = r + _roll(a, -dr, 0) + _roll(a, dr, 0)
+            out = r
+            for dc in range(1, half + 1):
+                out = out + _roll(r, -dc, 1) + _roll(r, dc, 1)
+            return out
+
+        if scale > 1:
+            t_box = box(acc_t)
+            c_box = box(acc_c)
+        else:
+            t_box = acc_t[:, :]
+            c_box = acc_c[:, :]
+
+        img = jnp.where(c_box >= 1, t_box / jnp.maximum(c_box, 1.0), 0.0)
+
+        # pltpu.roll is circular: padding rows/cols pick up wrapped garbage
+        # from the box filter.  Masking the normalized image to the logical
+        # region restores exact zero-padding semantics for the Scharr phase
+        # (the scatter itself never writes at rows >= H or cols >= W, so
+        # wraps INTO the valid region are zeros).
+        rr_i = lax.broadcasted_iota(jnp.int32, (HP, WP), 0)
+        cc_i = lax.broadcasted_iota(jnp.int32, (HP, WP), 1)
+        valid = (rr_i < H) & (cc_i < W)
+        img = jnp.where(valid, img, 0.0)
+
+        eps = jnp.float32(NONZERO_EPS)
+        # all-nine mask and Scharr via rolls (guard ring keeps wraps zero)
+        def sh(a, dr, dc):
+            return _roll(_roll(a, -dr, 0), -dc, 1)
+
+        # separable forms: Kx = [1,0,-1]_rows (x) [3,10,3]_cols,
+        # Ky = [3,10,3]_rows (x) [1,0,-1]_cols; all-nine = rowAND o colAND.
+        # boolean rolls are unsupported (Mosaic: 32-bit rotate only), so the
+        # all-nine AND runs on 0/1 floats via multiplication
+        nz = img > eps
+        nzf = nz.astype(jnp.float32)
+        col_and = nzf * _roll(nzf, -1, 1) * _roll(nzf, 1, 1)
+        allnine = (col_and * _roll(col_and, -1, 0) * _roll(col_and, 1, 0)) > 0.5
+
+        col_smooth = 3.0 * _roll(img, 1, 1) + 10.0 * img + 3.0 * _roll(img, -1, 1)
+        gx = _roll(col_smooth, 1, 0) - _roll(col_smooth, -1, 0)
+        row_smooth = 3.0 * _roll(img, 1, 0) + 10.0 * img + 3.0 * _roll(img, -1, 0)
+        gy = _roll(row_smooth, 1, 1) - _roll(row_smooth, -1, 1)
+        gx = jnp.where(allnine, gx, 0.0)
+        gy = jnp.where(allnine, gy, 0.0)
+
+        # reductions via per-axis sums (avoids full-size iota temporaries)
+        m = nz.astype(jnp.float32)
+        row_i = lax.broadcasted_iota(jnp.int32, (HP, 1), 0).astype(jnp.float32)
+        col_i = lax.broadcasted_iota(jnp.int32, (1, WP), 1).astype(jnp.float32)
+
+        gxm = gx * m
+        gym = gy * m
+        out_ref[0, 0] = jnp.sum(m)                                   # cnt
+        out_ref[0, 1] = jnp.sum(jnp.sum(m, 1, keepdims=True) * row_i)  # s_row
+        out_ref[0, 2] = jnp.sum(jnp.sum(m, 0, keepdims=True) * col_i)  # s_col
+        out_ref[0, 3] = jnp.sum(gxm)                                 # s_gx
+        out_ref[0, 4] = jnp.sum(gym)                                 # s_gy
+        out_ref[0, 5] = (
+            jnp.sum(jnp.sum(gym, 1, keepdims=True) * row_i)
+            - jnp.sum(jnp.sum(gxm, 0, keepdims=True) * col_i)
+        )                                                            # s_rg
+        out_ref[0, 6] = (
+            jnp.sum(jnp.sum(gxm, 1, keepdims=True) * row_i)
+            + jnp.sum(jnp.sum(gym, 0, keepdims=True) * col_i)
+        )                                                            # s_dg
+        out_ref[0, 7] = jnp.float32(0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "H", "W"))
+def fused_model_partials(
+    pr_x, pr_y, t_ns, active, scale: int, x_sh, y_sh, w_dyn, h_dyn,
+    H: int, W: int,
+) -> dict:
+    """Run the fused kernel; returns model_compute_partial-compatible sums.
+
+    Events are padded to a CHUNK multiple (padding is inactive).  ``H, W``
+    are the logical image dims (scale*res + scale); internally padded to
+    TPU-friendly (8, 128) multiples with a guard ring for the stencils.
+    """
+    n = pr_x.shape[0]
+    n_pad = _round_up(max(n, CHUNK), CHUNK)
+    HP = _round_up(H + 8, 8)
+    WP = _round_up(W + 8, 128)
+
+    def pad_row(a):
+        return jnp.pad(a.astype(jnp.float32), (0, n_pad - n)).reshape(
+            n_pad // CHUNK, 1, CHUNK
+        )
+
+    def pad_col(a):
+        return jnp.pad(a.astype(jnp.float32), (0, n_pad - n)).reshape(
+            n_pad // CHUNK, CHUNK, 1
+        )
+
+    prx_r = pad_row(pr_x)
+    pry_r = pad_row(pr_y)
+    t_r = pad_row(t_ns / jnp.float32(1e9))
+    act_r = pad_row(active.astype(jnp.float32))
+    prx_c = pad_col(pr_x)
+    pry_c = pad_col(pr_y)
+    act_c = pad_col(active.astype(jnp.float32))
+
+    scal = jnp.stack(
+        [jnp.float32(x_sh), jnp.float32(y_sh),
+         jnp.asarray(w_dyn, jnp.float32), jnp.asarray(h_dyn, jnp.float32),
+         jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0)]
+    ).reshape(1, 8)
+
+    n_chunks = n_pad // CHUNK
+    kern = functools.partial(_kernel, scale=scale, HP=HP, WP=WP, H=H, W=W)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ]
+        + [
+            pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_specs=pl.BlockSpec((1, 8), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((HP, WP), jnp.float32),
+            pltpu.VMEM((HP, WP), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(scal, prx_r, pry_r, t_r, act_r, prx_c, pry_c, act_c)
+
+    return {
+        "cnt": out[0, 0],
+        "s_row": out[0, 1],
+        "s_col": out[0, 2],
+        "s_gx": out[0, 3],
+        "s_gy": out[0, 4],
+        "s_rg": out[0, 5],
+        "s_dg": out[0, 6],
+    }
