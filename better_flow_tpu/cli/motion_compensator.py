@@ -113,6 +113,21 @@ def main(argv=None) -> int:
     if not args.quiet:
         print(f"Read {n} events, finished")
 
+    if args.interactive:
+        # OptimizerRolling::manual trackbar mode on the first slice window
+        # (optimizer_rolling.h:128-233); requires a display.
+        try:
+            from better_flow_tpu.cli.manual_mode import run_manual
+
+            k = min(n, cfg.slice.max_events)
+            run_manual(rec["x"][:k], rec["y"][:k],
+                       rec["t_ns"][:k] - rec["t_ns"][0], cfg.sensor,
+                       scale=cfg.optimizer.scale)
+            return 0
+        except Exception as e:  # pragma: no cover - needs a display
+            print(f"interactive mode unavailable ({e}); continuing batch run",
+                  file=sys.stderr)
+
     want_frames = args.img or args.video
 
     if args.scan and not want_frames:

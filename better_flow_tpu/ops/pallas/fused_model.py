@@ -38,7 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from better_flow_tpu.config import NONZERO_EPS
 
-CHUNK = 512
+# Events per grid step.  Larger chunks amortize per-step overhead and give
+# the MXU a deeper contraction (K=2048); swept 512/1024/2048 on v5e -> 2048
+# fastest end to end (797k vs 644k events/s).
+CHUNK = 2048
 
 
 def _round_up(x: int, m: int) -> int:

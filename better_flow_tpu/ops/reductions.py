@@ -84,6 +84,59 @@ def model_compute(
     return ModelTerms(dx=dx, dy=dy, rot=rot, div=div, cnt=cnt)
 
 
+def model_compute_sampled(
+    img, pr_x, pr_y, valid, cx, cy, scale, x_shift, y_shift, key, p: float = 0.1
+) -> ModelTerms:
+    """Monte-Carlo model update sampling events instead of pixels.
+
+    Reference: the second ObjectModel::compute overload
+    (object_model.cpp:42-99), unused by the shipped pipeline but part of its
+    surface.  Samples ~p*N events (with replacement), evaluates the strict
+    unmasked Scharr at their projected pixels, keeps samples whose 3x3
+    neighbourhood is fully nonzero, and computes dx/dy as sample means, then
+    rot/div from the *mean-subtracted* sample gradients (:82-90 — note this
+    differs from the pixel path, which does not center the gradients).
+
+    TPU form: a fixed sample count with validity masking replaces the
+    reference's resample-until-cnt loop (which can spin forever on sparse
+    images); the estimator is the same.
+    """
+    import jax
+
+    n = pr_x.shape[0]
+    n_samples = max(int(n * p), 1)
+    idx = jax.random.randint(key, (n_samples,), 0, n)
+    sx = (pr_x[idx] * scale + x_shift).astype(jnp.int32)
+    sy = (pr_y[idx] * scale + y_shift).astype(jnp.int32)
+    H, W = img.shape
+    inb = valid[idx] & (sx >= 1) & (sx < H - 1) & (sy >= 1) & (sy < W - 1)
+    sxc = jnp.clip(sx, 1, H - 2)
+    syc = jnp.clip(sy, 1, W - 2)
+
+    ok = inb
+    dx = jnp.zeros(n_samples)
+    dy = jnp.zeros(n_samples)
+    kx = [[3.0, 10.0, 3.0], [0.0, 0.0, 0.0], [-3.0, -10.0, -3.0]]
+    ky = [[3.0, 0.0, -3.0], [10.0, 0.0, -10.0], [3.0, 0.0, -3.0]]
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            v = img[sxc + dr, syc + dc]
+            ok = ok & (v > jnp.float32(NONZERO_EPS))
+            dx = dx + v * kx[dr + 1][dc + 1]
+            dy = dy + v * ky[dr + 1][dc + 1]
+    m = ok.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(m), 1.0)
+    mdx = jnp.sum(dx * m) / cnt
+    mdy = jnp.sum(dy * m) / cnt
+    rx = sxc.astype(jnp.float32) - cx
+    ry = syc.astype(jnp.float32) - cy
+    gu = dx - mdx
+    gv = dy - mdy
+    rot = jnp.sum((rx * gv - ry * gu) * m) / cnt
+    div = jnp.sum((rx * gu + ry * gv) * m) / cnt
+    return ModelTerms(dx=mdx, dy=mdy, rot=rot, div=div, cnt=jnp.sum(m))
+
+
 def model_compute_partial(img, gx, gy):
     """Tile-local sums for a psum-combinable model update.
 

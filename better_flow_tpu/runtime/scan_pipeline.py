@@ -91,21 +91,24 @@ def plan_slices(t_ns: np.ndarray, cfg: PipelineConfig) -> SlicePlan:
 
 
 def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int):
-    """[S, CAP] SoA tensors + per-slice lengths and original indices."""
+    """[S, CAP] SoA tensors + per-slice lengths and original indices.
+
+    Vectorized gather (one fancy-index per array): for a 77-slice x 50k
+    plan the Python-loop version cost ~1.3 s — a third of the whole device
+    run time."""
     S = len(plan.ends)
-    xs = np.zeros((S, cap), np.float32)
-    ys = np.zeros((S, cap), np.float32)
-    ts = np.zeros((S, cap), np.float32)
-    idx = np.full((S, cap), -1, np.int64)
     lens = (plan.ends - plan.starts + 1).astype(np.int32)
-    for s in range(S):
-        a, b = plan.starts[s], plan.ends[s] + 1
-        m = b - a
-        xs[s, :m] = x[a:b]
-        ys[s, :m] = y[a:b]
-        ts[s, :m] = (t_ns[a:b] - plan.slice_start_ns[s]).astype(np.float32)
-        idx[s, :m] = np.arange(a, b)
-    return xs, ys, ts, idx.astype(np.int32), lens
+    offsets = np.arange(cap, dtype=np.int64)[None, :]
+    gidx = plan.starts[:, None] + offsets              # [S, CAP]
+    valid = offsets < lens[:, None]
+    safe = np.minimum(gidx, len(x) - 1)
+    xs = np.where(valid, x[safe], 0).astype(np.float32)
+    ys = np.where(valid, y[safe], 0).astype(np.float32)
+    ts = np.where(
+        valid, t_ns[safe] - plan.slice_start_ns[:, None], 0
+    ).astype(np.float32)
+    idx = np.where(valid, gidx, -1).astype(np.int32)
+    return xs, ys, ts, idx, lens
 
 
 @partial(
