@@ -48,9 +48,12 @@ def main():
 
     # Warmup at identical shapes: the scan program is static over
     # (slice count, capacity, n_total), so the warmup must use the same
-    # recording or it compiles twice.
-    warm = compensate_recording_scan(d["x"], d["y"], d["t_ns"], cfg)
-    out = compensate_recording_scan(d["x"], d["y"], d["t_ns"], cfg)
+    # recording or it compiles twice.  Host-side slice prep is shared.
+    from better_flow_tpu.runtime.scan_pipeline import prepare_recording
+
+    prepared = prepare_recording(d["x"], d["y"], d["t_ns"], cfg)
+    warm = compensate_recording_scan(None, None, None, cfg, prepared=prepared)
+    out = compensate_recording_scan(None, None, None, cfg, prepared=prepared)
     st = out["stats"]
     st["compile_s"] = round(warm["stats"]["run_s"] - st["run_s"], 3)
 

@@ -142,36 +142,52 @@ def _scan_slices(xs, ys, ts, idx, lens, init_model, cfg: PipelineConfig, n_total
     return final_model, noise_all, outs
 
 
+def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
+    """Host-side preparation: trigger plan + [S, CAP] slice tensors on
+    device.  Reusable across runs of the same recording (bench warmups)."""
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    t_ns = np.ascontiguousarray(t_ns, np.int64)
+    t0 = time.perf_counter()
+    plan = plan_slices(t_ns, cfg)
+    xs, ys, ts, idx, lens = materialize_slices(x, y, t_ns, plan, cfg.slice.max_events)
+    prepared = {
+        "plan": plan,
+        "xs": jnp.asarray(xs), "ys": jnp.asarray(ys), "ts": jnp.asarray(ts),
+        "idx": jnp.asarray(idx), "lens": jnp.asarray(lens),
+        "n": len(x),
+        "plan_s": time.perf_counter() - t0,
+    }
+    return prepared
+
+
 def compensate_recording_scan(
     x,
     y,
     t_ns,
     cfg: Optional[PipelineConfig] = None,
     init_model: Optional[MotionModel] = None,
+    prepared: Optional[dict] = None,
 ) -> dict:
     """Process a whole recording with one device program.
 
     Returns accumulated per-event flow (first-slice-wins, matching
     get_accumulated), per-slice stats, and timing that separates compile
-    (first call) from steady-state execution.
+    (first call) from steady-state execution.  Pass ``prepared`` from
+    prepare_recording to reuse the host-side slicing across runs.
     """
     cfg = cfg or PipelineConfig()
-    x = np.ascontiguousarray(x, np.float32)
-    y = np.ascontiguousarray(y, np.float32)
-    t_ns = np.ascontiguousarray(t_ns, np.int64)
-    n = len(x)
-    cap = cfg.slice.max_events
-
-    t_plan0 = time.perf_counter()
-    plan = plan_slices(t_ns, cfg)
-    xs, ys, ts, idx, lens = materialize_slices(x, y, t_ns, plan, cap)
-    t_plan = time.perf_counter() - t_plan0
+    if prepared is None:
+        prepared = prepare_recording(x, y, t_ns, cfg)
+    plan = prepared["plan"]
+    n = prepared["n"]
+    t_plan = prepared["plan_s"]
 
     model0 = init_model or MotionModel.zero()
     t_run0 = time.perf_counter()
     final_model, noise_all, (u, v, noise_s, iters, ran) = _scan_slices(
-        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts), jnp.asarray(idx),
-        jnp.asarray(lens), model0, cfg, n,
+        prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
+        prepared["lens"], model0, cfg, n,
     )
     jax.block_until_ready(final_model)
     t_run = time.perf_counter() - t_run0

@@ -251,3 +251,60 @@ def time_img_u8(time_img: np.ndarray) -> np.ndarray:
     _require_cv2()
     img = np.asarray(time_img, np.float32)
     return cv2.normalize(img, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
+
+
+def color_clusters_img(
+    pr_x, pr_y, cluster_id, noise=None, scale: int = 11,
+    res_x: int = 180, res_y: int = 240, cluster_cnt: int = 6,
+) -> np.ndarray:
+    """EventFile::color_clusters_img (event_file.h:560-646): hue encodes the
+    cluster id (modulo ``cluster_cnt``) as a phase angle, circular-averaged
+    per pixel like the color-time image.  Events without a cluster
+    (id < 0, the reference's NULL cl pointer, :594) are skipped."""
+    _require_cv2()
+    pr_x = np.asarray(pr_x, np.float64)
+    pr_y = np.asarray(pr_y, np.float64)
+    cid = np.asarray(cluster_id)
+    keep = cid >= 0
+    if noise is not None:
+        keep &= ~np.asarray(noise, bool)
+
+    # bbox window with the reference's shift (no scale/2 term, :589-590)
+    if not keep.any():
+        return np.zeros((0, 0, 3), np.uint8)
+    xs = pr_x[keep]
+    ys = pr_y[keep]
+    x_min, x_max = int(xs.min()), min(int(xs.max()), res_x)
+    y_min, y_max = int(ys.min()), min(int(ys.max()), res_y)
+    wx = scale * (x_max - x_min)
+    wy = scale * (y_max - y_min)
+    H, W = wx + scale, wy + scale
+    x_sh = -float((x_max - x_min) // 2 + x_min) * scale + wx / 2.0
+    y_sh = -float((y_max - y_min) // 2 + y_min) * scale + wy / 2.0
+
+    ix = np.trunc(xs * scale + x_sh).astype(np.int64)
+    iy = np.trunc(ys * scale + y_sh).astype(np.int64)
+    ok = (ix >= 0) & (ix < wx) & (iy >= 0) & (iy < wy)
+    ix, iy = ix[ok] + scale // 2, iy[ok] + scale // 2
+    ang = 2 * 3.14 * (cid[keep][ok] % cluster_cnt) / cluster_cnt
+
+    lin = ix * W + iy
+    coss = np.bincount(lin, weights=np.cos(ang), minlength=H * W).reshape(H, W)
+    sins = np.bincount(lin, weights=np.sin(ang), minlength=H * W).reshape(H, W)
+    cnts = np.bincount(lin, minlength=H * W).astype(np.float64).reshape(H, W)
+    if scale > 1:
+        k = np.ones(scale)
+        for arr in (coss, sins, cnts):
+            arr[:] = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 0, arr)
+            arr[:] = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, arr)
+
+    out = np.zeros((H, W, 3), np.uint8)
+    nz = cnts > 0
+    vx = np.where(nz, coss / np.maximum(cnts, 1), 0.0)
+    vy = np.where(nz, sins / np.maximum(cnts, 1), 0.0)
+    speed = np.hypot(vx, vy)
+    angle = np.where(speed != 0, (np.arctan2(vy, vx) + 3.1416) * 180 / 3.1416, 0.0)
+    out[..., 0] = (angle / 2).astype(np.uint8)
+    out[..., 1] = np.minimum(speed * 255, 255).astype(np.uint8)
+    out[..., 2] = np.where(nz, 255, 0)
+    return cv2.cvtColor(out, cv2.COLOR_HSV2BGR)
