@@ -28,7 +28,9 @@ def main():
     from better_flow_tpu.io.synthetic import synthetic_events
     from better_flow_tpu.runtime.scan_pipeline import compensate_recording_scan
 
-    n_events = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
+    on_tpu = jax.default_backend() == "tpu"
+    default_n = 2_000_000 if on_tpu else 100_000
+    n_events = int(float(sys.argv[1])) if len(sys.argv) > 1 else default_n
     cfg = PipelineConfig()  # reference defaults: 180x240, 50k/0.2s, 20k/33ms
 
     # A 1 Mev/s synthetic stream (typical DVS rates) with moderate motion.
@@ -79,4 +81,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit one JSON line for the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "pipeline_throughput",
+                    "value": 0.0,
+                    "unit": "events/s",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": f"{type(e).__name__}: {e}"[:400]},
+                }
+            )
+        )
+        raise SystemExit(1)

@@ -21,6 +21,7 @@ from functools import partial
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -88,3 +89,127 @@ def jit_event_parallel(cfg, sensor, mesh, warm_start=True):
             warm_start=warm_start,
         )
     )
+
+
+def compensate_recording_scan_sharded(
+    x, y, t_ns, cfg, mesh: Mesh, init_model: Optional[MotionModel] = None,
+) -> dict:
+    """Multi-chip offline pipeline: the device-resident slice scan with each
+    slice's events sharded over mesh axis 'ev'.
+
+    Inside shard_map, every device scatters its event shard (pre-filter
+    images psum'd per iteration via axis_name='ev'); the warm-start model
+    stays replicated because every device sees identical psum'd reductions.
+    Cross-slice noise persistence is kept replicated by all_gathering each
+    slice's noise flags (50 kB — ICI noise) and applying the identical
+    update everywhere.
+
+    This is the 1-host/N-chip and (over DCN meshes) N-host measurement
+    configuration of BASELINE.md's scaling protocol.
+    """
+    import time as _time
+
+    import numpy as np
+    from jax import lax
+
+    from better_flow_tpu.config import PipelineConfig
+    from better_flow_tpu.runtime.scan_pipeline import (
+        materialize_slices,
+        plan_slices,
+    )
+
+    n_dev = mesh.shape[AXIS]
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    t_ns = np.ascontiguousarray(t_ns, np.int64)
+    n_total = len(x)
+
+    t0 = _time.perf_counter()
+    plan = plan_slices(t_ns, cfg)
+    cap = -(-cfg.slice.max_events // (8 * n_dev)) * 8 * n_dev
+    xs, ys, ts, idx, lens = materialize_slices(x, y, t_ns, plan, cap)
+    plan_s = _time.perf_counter() - t0
+
+    opt = cfg.optimizer
+    sensor = cfg.sensor
+    warm = not cfg.stm_disable
+    local_cap = cap // n_dev
+    S = xs.shape[0]
+
+    def local_scan(xs, ys, ts, idx, lens, model0):
+        dev = lax.axis_index(AXIS)
+        pos = dev * local_cap + jnp.arange(local_cap, dtype=jnp.int32)
+
+        def step(carry, inputs):
+            model, noise_all = carry
+            sx, sy, st, sidx, slen = inputs
+            valid = pos < slen
+            safe_idx = jnp.where(valid & (sidx >= 0), sidx, n_total - 1)
+            noise = noise_all[safe_idx] & valid
+            ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise)
+            res = process_slice(ev, model, opt, sensor, warm_start=warm,
+                                axis_name=AXIS)
+            # replicate the noise update across the mesh
+            noise_g = lax.all_gather(res.noise & valid, AXIS, tiled=True)
+            idx_g = lax.all_gather(sidx, AXIS, tiled=True)
+            valid_g = lax.all_gather(valid, AXIS, tiled=True)
+            tgt = jnp.where(valid_g & (idx_g >= 0), idx_g, n_total)
+            noise_all = noise_all.at[tgt].set(noise_g, mode="drop")
+            return (res.model, noise_all), (res.u, res.v, res.noise, res.iters)
+
+        noise0 = jnp.zeros((n_total,), bool)
+        (final_model, noise_all), outs = lax.scan(
+            step, (model0, noise0), (xs, ys, ts, idx, lens)
+        )
+        return final_model, outs
+
+    model_spec = jax.tree_util.tree_map(lambda _: P(), MotionModel.zero())
+    fn = jax.jit(
+        jax.shard_map(
+            local_scan,
+            mesh=mesh,
+            in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                      P(None, AXIS), P(None), model_spec),
+            out_specs=(model_spec, (P(None, AXIS), P(None, AXIS),
+                                    P(None, AXIS), P(None))),
+            check_vma=False,
+        )
+    )
+
+    model0 = init_model or MotionModel.zero()
+    t0 = _time.perf_counter()
+    final_model, (u, v, noise_s, iters) = fn(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts),
+        jnp.asarray(idx), jnp.asarray(lens), model0,
+    )
+    jax.block_until_ready(final_model)
+    run_s = _time.perf_counter() - t0
+
+    u = np.asarray(u)
+    v = np.asarray(v)
+    noise_s = np.asarray(noise_s)
+    acc_u = np.zeros(n_total, np.float32)
+    acc_v = np.zeros(n_total, np.float32)
+    acc_noise = np.zeros(n_total, bool)
+    seen = np.zeros(n_total, bool)
+    for s in range(S):
+        a, b = plan.starts[s], plan.ends[s] + 1
+        m = b - a
+        rng = np.arange(a, b)
+        fresh = ~seen[rng]
+        tgt = rng[fresh]
+        acc_u[tgt] = u[s, :m][fresh]
+        acc_v[tgt] = v[s, :m][fresh]
+        acc_noise[tgt] = noise_s[s, :m][fresh]
+        seen[rng] = True
+
+    return {
+        "u": acc_u, "v": acc_v, "noise": acc_noise, "model": final_model,
+        "iters": np.asarray(iters),
+        "stats": {
+            "n_events": n_total, "n_slices": S, "n_devices": n_dev,
+            "plan_s": plan_s, "run_s": run_s,
+            "events_per_s": n_total / run_s if run_s > 0 else 0.0,
+            "mean_iters": float(np.mean(np.asarray(iters))),
+        },
+    }
