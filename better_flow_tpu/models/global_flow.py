@@ -128,14 +128,17 @@ def _iteration_step(
         # Fused VMEM-resident kernel: MXU one-hot splat + box + normalize +
         # masked Scharr + partial reductions in a single pallas_call
         # (ops/pallas/fused_model.py); centroid applied via the affine
-        # partial-sum correction.
-        from better_flow_tpu.ops.pallas.fused_model import fused_model_partials
+        # partial-sum correction.  process_slice pre-sorts events spatially,
+        # so the windowed variant's chunk-local joints apply.
+        from better_flow_tpu.ops.pallas.fused_model import (
+            fused_model_partials_windowed,
+        )
         from better_flow_tpu.ops.reductions import model_from_partials
 
         # (Under event-parallel shard_map the image must be psum'd BEFORE
         # the nonlinear normalize/Scharr, so the sharded path uses the jnp
         # branch below with its pre-filter psum.)
-        p = fused_model_partials(
+        p = fused_model_partials_windowed(
             state.pr_x, state.pr_y, ev.t, ev.active, scale,
             geom.x_shift, geom.y_shift, geom.w_dyn, geom.h_dyn, H, W,
         )
@@ -269,6 +272,22 @@ def process_slice(
     """
     scale = cfg.scale
     H, W = static_image_shape(scale, sensor)
+
+    # The windowed Pallas kernel needs spatially local chunks: sort events
+    # once per slice by original (row-band, column).  Every downstream op is
+    # order-independent; per-event outputs are unsorted at the end.
+    mode = cfg.scatter_mode
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    sorted_for_pallas = mode == "pallas" and axis_name is None
+    inv_order = None
+    if sorted_for_pallas:
+        from better_flow_tpu.ops.pallas.fused_model import sort_key_blocks
+
+        order = jnp.argsort(sort_key_blocks(ev.x, ev.y, ev.valid))
+        inv_order = jnp.argsort(order)
+        ev = EventSlice(*(jnp.take(f, order, axis=0) for f in ev))
+
     geom = slice_geometry(ev, scale, sensor, cfg.min_window_fraction, axis_name)
 
     # set_cloud resets every event: pr = fr, n = 0 (event.h:54-59).
@@ -310,15 +329,19 @@ def process_slice(
     noise = ev.noise | (geom.window_small & ev.valid)
 
     u, v = compute_uv(final.nx, final.ny)
+    per_event = [final.pr_x, final.pr_y, final.nx, final.ny, u, v, noise]
+    if inv_order is not None:
+        per_event = [jnp.take(a, inv_order, axis=0) for a in per_event]
+    pr_x_o, pr_y_o, nx_o, ny_o, u_o, v_o, noise_o = per_event
     return SliceResult(
         model=final.model,
-        pr_x=final.pr_x,
-        pr_y=final.pr_y,
-        nx=final.nx,
-        ny=final.ny,
-        u=u,
-        v=v,
-        noise=noise,
+        pr_x=pr_x_o,
+        pr_y=pr_y_o,
+        nx=nx_o,
+        ny=ny_o,
+        u=u_o,
+        v=v_o,
+        noise=noise_o,
         iters=final.iters,
         ran=ran,
     )
