@@ -120,3 +120,40 @@ def gradient_img_fuse(pr_img: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray):
     uy = jnp.where(speed == 0, 0.0, gy / safe)
     mag = jnp.where(speed != 0, 255.0 - pr_img, 0.0)
     return ux * mag, uy * mag
+
+
+def lr_sobel_fuse(
+    img: jnp.ndarray, pr_img: jnp.ndarray, wsize: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """AccelLib::LR_Sobel_fuse (accel_lib.h:436-464): full-res masked Scharr,
+    then gradient_img_fuse against the projection image, THEN the window-mean
+    sparsity filter — the fuse happens before the averaging, unlike
+    LR_Sobel + fuse."""
+    gx, gy = masked_scharr(img)
+    gx, gy = gradient_img_fuse(pr_img, gx, gy)
+    half = wsize // 2
+    H, W = img.shape
+
+    def window_mean(g):
+        nz = (jnp.abs(g) > 1e-8).astype(jnp.float32)
+        ssum = lax.reduce_window(
+            g, jnp.float32(0), lax.add, (wsize, wsize), (1, 1),
+            ((half, half), (half, half)),
+        )
+        scnt = lax.reduce_window(
+            nz, jnp.float32(0), lax.add, (wsize, wsize), (1, 1),
+            ((half, half), (half, half)),
+        )
+        ok = scnt >= (wsize * wsize) // 4
+        return jnp.where(ok, ssum / jnp.maximum(scnt, 1.0), 0.0)
+
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(W)[None, :]
+    interior = (
+        (rows >= half) & (rows < H - half) & (cols >= half) & (cols < W - half)
+    )
+    zero = jnp.float32(0)
+    return (
+        jnp.where(interior, window_mean(gx), zero),
+        jnp.where(interior, window_mean(gy), zero),
+    )

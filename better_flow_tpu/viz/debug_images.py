@@ -15,18 +15,22 @@ import jax.numpy as jnp
 from jax import lax
 
 from better_flow_tpu.config import NONZERO_EPS
-from better_flow_tpu.ops.gradient import gradient_img_fuse, lr_sobel, masked_scharr
+from better_flow_tpu.ops.gradient import (
+    gradient_img_fuse,
+    lr_sobel,
+    lr_sobel_fuse,
+    masked_scharr,
+)
 from better_flow_tpu.viz.images import color_gradient_img
 
 
 def gradient_img(time_img, pr_img, wsize: int = 50):
     """OptimizerRolling::get_gradient_img (optimizer_rolling.h:351-373):
-    LR_Sobel_fuse of the time image with the projection image, then the
-    0.5*|gx| + 0.5*|gy| magnitude view."""
-    gx, gy = lr_sobel(jnp.asarray(time_img, jnp.float32), wsize)
-    gx, gy = gradient_img_fuse(jnp.asarray(pr_img, jnp.float32), gx, gy)
-    # second fuse like the reference (:363 applies gradient_img_fuse again
-    # on the window-mean output)
+    LR_Sobel_fuse of the time image with the projection image (fuse happens
+    BEFORE the window mean, accel_lib.h:441-442), a second fuse on the
+    window-mean output (:363), then the 0.5*|gx| + 0.5*|gy| magnitude."""
+    gx, gy = lr_sobel_fuse(jnp.asarray(time_img, jnp.float32),
+                           jnp.asarray(pr_img, jnp.float32), wsize)
     gx, gy = gradient_img_fuse(jnp.asarray(pr_img, jnp.float32), gx, gy)
     grad = 0.5 * jnp.abs(gx) + 0.5 * jnp.abs(gy)
     return np.asarray(jnp.clip(grad, 0, 255)).astype(np.uint8)

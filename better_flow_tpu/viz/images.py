@@ -308,3 +308,68 @@ def color_clusters_img(
     out[..., 1] = np.minimum(speed * 255, 255).astype(np.uint8)
     out[..., 2] = np.where(nz, 255, 0)
     return cv2.cvtColor(out, cv2.COLOR_HSV2BGR)
+
+
+def uvscore_images(
+    best_pr_x, best_pr_y, best_u, best_v, max_score, noise=None,
+    res_x: int = 180, res_y: int = 240, scale: float = 15,
+) -> dict:
+    """The image set of EventFile::display_uvscore (event_file.h:353-456),
+    non-interactively: the hi-res best-projection image (splat, blur,
+    127-normalize), the adaptively-thresholded low-res projection, the flow
+    HSV image with linear-speed saturation (:430 — unlike color_flow_img's
+    log speed), the arrow overlay, and the per-pixel score map."""
+    _require_cv2()
+    scale = int(scale)
+    px = np.trunc(np.asarray(best_pr_x, np.float64)).astype(np.int64)
+    py = np.trunc(np.asarray(best_pr_y, np.float64)).astype(np.int64)
+    u = np.asarray(best_u, np.float64)
+    v = np.asarray(best_v, np.float64)
+    sc = np.asarray(max_score, np.float64)
+    keep = np.ones(len(px), bool)
+    if noise is not None:
+        keep &= ~np.asarray(noise, bool)
+
+    # low-res count with 255 saturation + adaptive threshold (:366-376, 404)
+    inb = (px >= 0) & (px < res_x) & (py >= 0) & (py < res_y)
+    low = np.zeros((res_x, res_y), np.int64)
+    np.add.at(low, (px[inb], py[inb]), 1)
+    low = np.minimum(low, 255).astype(np.uint8)
+    ksz = scale if scale % 2 == 1 else scale + 1
+    thresh = cv2.adaptiveThreshold(
+        low, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C, cv2.THRESH_BINARY, ksz, 0
+    )
+
+    # hi-res footprint splat (:378-402)
+    hx = np.trunc(np.asarray(best_pr_x, np.float64) * scale).astype(np.int64)
+    hy = np.trunc(np.asarray(best_pr_y, np.float64) * scale).astype(np.int64)
+    ok = (hx >= 0) & (hx < scale * res_x) & (hy >= 0) & (hy < scale * res_y)
+    H = (res_x + 1) * scale
+    W = (res_y + 1) * scale
+    hires = _splat_counts(hx[ok] + scale // 2, hy[ok] + scale // 2, H, W, scale)
+    if scale > 1:
+        hires = cv2.GaussianBlur(hires, (ksz, ksz), 0, 0)
+    img_scale = 127.0 / max(nonzero_average_np(hires), 1e-12)
+    hires = cv2.convertScaleAbs(hires, alpha=img_scale, beta=0)
+
+    # flow hsv with LINEAR speed saturation + scores + arrows (:413-449)
+    hsv = np.zeros((res_x, res_y, 3), np.uint8)
+    hsv[..., 2] = 255
+    scores = np.zeros((res_x, res_y), np.float32)
+    sel = keep & inb
+    speed = np.hypot(u[sel], v[sel])
+    angle = np.where(speed != 0, (np.arctan2(v[sel], u[sel]) + 3.1416) * 180 / 3.1416, 0.0)
+    hsv[px[sel], py[sel], 0] = (angle / 2).astype(np.uint8)
+    hsv[px[sel], py[sel], 1] = np.minimum(speed, 255).astype(np.uint8)
+    scores[px[sel], py[sel]] = sc[sel]
+    flow_bgr = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    scores_u8 = cv2.convertScaleAbs(scores, alpha=10.0, beta=0)
+    arrows = arrow_flow_img(best_pr_x, best_pr_y, best_u, best_v, noise,
+                            res_x=res_x, res_y=res_y)
+    return {
+        "best_projection_hires": hires,
+        "best_projection_thresholded": thresh,
+        "flow": flow_bgr,
+        "arrows": arrows,
+        "scores": scores_u8,
+    }

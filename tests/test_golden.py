@@ -21,16 +21,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def golden(tmp_path_factory):
+def _make_golden(tmp, scene):
     from better_flow_tpu.io.event_file import write_events
     from better_flow_tpu.io.synthetic import synthetic_events
 
-    tmp = tmp_path_factory.mktemp("golden")
-    d = synthetic_events(
-        60_000, duration_s=0.4, res_x=180, res_y=240,
-        vx=60.0, vy=-40.0, rot=0.1, div=0.03, n_points=400, seed=21,
-    )
+    d = synthetic_events(60_000, duration_s=0.4, res_x=180, res_y=240,
+                         n_points=400, seed=21, **scene)
     rec = str(tmp / "rec.txt")
     write_events(rec, d["x"], d["y"], d["t_ns"], d["polarity"])
     ref_out = str(tmp / "ref.txt")
@@ -39,6 +35,24 @@ def golden(tmp_path_factory):
         check=True, capture_output=True, timeout=600,
     )
     return {"rec": rec, "ref_out": ref_out, "events": d}
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory):
+    return _make_golden(
+        tmp_path_factory.mktemp("golden"),
+        dict(vx=60.0, vy=-40.0, rot=0.1, div=0.03),
+    )
+
+
+@pytest.fixture(scope="module")
+def golden_rotdiv(tmp_path_factory):
+    """Rotation/divergence-dominated scene — exercises the crl/div terms of
+    the 4-param warp against the C++ binary."""
+    return _make_golden(
+        tmp_path_factory.mktemp("golden_rd"),
+        dict(vx=5.0, vy=-5.0, rot=0.8, div=0.25),
+    )
 
 
 def test_flow_matches_reference(golden):
@@ -95,3 +109,46 @@ def test_compensated_image_psnr(golden):
     occ_raw = (img_raw > 0).sum()
     assert occ_ours < occ_raw          # we deblur
     assert occ_ours <= occ_ref * 1.05  # at least as concentrated as the C++
+
+
+def test_rotdiv_flow_matches_reference(golden_rotdiv):
+    """Rotation/divergence-dominated scenes make the warm-start chain
+    chaotic: tiny numeric differences (our f32 vs the C++ double
+    accumulation) eventually bifurcate into different local optima.  The
+    honest gates are therefore (a) exact-trajectory parity over the early
+    slices before any bifurcation, and (b) compensated-image sharpness
+    within tolerance of the reference over the whole recording — the
+    BASELINE.md sharpness criterion."""
+    from better_flow_tpu.config import PipelineConfig
+    from better_flow_tpu.io.event_file import read_events, read_events_uv
+    from better_flow_tpu.runtime.scan_pipeline import (
+        compensate_recording_scan,
+        plan_slices,
+    )
+    from better_flow_tpu.viz.images import projection_img
+
+    cfg = PipelineConfig()
+    rec = read_events(golden_rotdiv["rec"])
+    ref = read_events_uv(golden_rotdiv["ref_out"])
+    out = compensate_recording_scan(rec["x"], rec["y"], rec["t_ns"], cfg)
+
+    # (a) slice-exact parity before bifurcation: the first five slices must
+    # track the C++ per-event flow essentially perfectly.
+    plan = plan_slices(rec["t_ns"], cfg)
+    end5 = plan.ends[4] + 1
+    c = np.corrcoef(out["u"][:end5], ref["u"][:end5])[0, 1]
+    assert c > 0.99, c
+
+    # (b) sharpness parity over the whole recording.
+    t_s = rec["t_ns"] / 1e9
+    t_s = t_s - t_s.min()
+
+    def occupancy(u, v):
+        img = projection_img(rec["x"] - u * t_s, rec["y"] - v * t_s, scale=3)
+        return (img > 0).sum()
+
+    occ_ref = occupancy(ref["u"], ref["v"])
+    occ_ours = occupancy(out["u"], out["v"])
+    occ_raw = occupancy(np.zeros_like(t_s), np.zeros_like(t_s))
+    assert occ_ours < occ_raw              # we deblur
+    assert occ_ours <= occ_ref * 1.15      # within 15% of the C++ sharpness
