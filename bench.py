@@ -60,8 +60,14 @@ def main():
     # recording or it compiles twice.  Host-side slice prep is shared.
     from better_flow_tpu.runtime.scan_pipeline import prepare_recording
 
+    print(f"[bench] {n_real} events, planning + staging...", file=sys.stderr, flush=True)
     prepared = prepare_recording(d["x"], d["y"], d["t_ns"], cfg)
+    print("[bench] warmup (first compile can take several minutes on the "
+          "remote TPU compiler)...", file=sys.stderr, flush=True)
+    t0 = time.time()
     warm = compensate_recording_scan(None, None, None, cfg, prepared=prepared)
+    print(f"[bench] warmup done in {time.time()-t0:.1f}s; measuring...",
+          file=sys.stderr, flush=True)
     out = compensate_recording_scan(None, None, None, cfg, prepared=prepared)
     st = out["stats"]
     st["compile_s"] = round(warm["stats"]["run_s"] - st["run_s"], 3)

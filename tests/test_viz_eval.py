@@ -119,3 +119,27 @@ def test_evaluate_flow_projection_semantics():
 def test_aee():
     assert aee([1, 2], [0, 0], [1, 2], [0, 0]) == 0.0
     assert abs(aee([0.0], [0.0], [3.0], [4.0]) - 5.0) < 1e-12
+
+
+def test_video_sink_writes_frames(tmp_path):
+    """VideoSink + hud_frame produce a playable file (dvs_flow.h:114-129)."""
+    import numpy as np
+
+    from better_flow_tpu.viz.video import VideoSink
+
+    path = str(tmp_path / "out.mp4")
+    sink = VideoSink(path, fps=10, res_x=24, res_y=32)
+    frame = np.random.default_rng(0).integers(
+        0, 255, (2 * 24 * 3, 2 * 32 * 3, 3), np.uint8
+    )
+    for _ in range(5):
+        sink.write(frame)
+    sink.close()
+    import os
+
+    assert os.path.getsize(path) > 1000
+    cap = cv2.VideoCapture(path)
+    assert cap.isOpened()
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert n == 5
