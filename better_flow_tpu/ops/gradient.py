@@ -67,6 +67,30 @@ def masked_scharr(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.where(ok, dx, zero), jnp.where(ok, dy, zero)
 
 
+def _window_mean_sparse(g: jnp.ndarray, wsize: int) -> jnp.ndarray:
+    """Window mean over entries with |g| > 1e-8, requiring >= wsize^2/4
+    support (LR_sobel_point, accel_lib.h:495-510); interior-only fill."""
+    half = wsize // 2
+    H, W = g.shape
+    nz = (jnp.abs(g) > 1e-8).astype(jnp.float32)
+    ssum = lax.reduce_window(
+        g, jnp.float32(0), lax.add, (wsize, wsize), (1, 1),
+        ((half, half), (half, half)),
+    )
+    scnt = lax.reduce_window(
+        nz, jnp.float32(0), lax.add, (wsize, wsize), (1, 1),
+        ((half, half), (half, half)),
+    )
+    ok = scnt >= (wsize * wsize) // 4
+    out = jnp.where(ok, ssum / jnp.maximum(scnt, 1.0), 0.0)
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(W)[None, :]
+    interior = (
+        (rows >= half) & (rows < H - half) & (cols >= half) & (cols < W - half)
+    )
+    return jnp.where(interior, out, jnp.float32(0))
+
+
 def lr_sobel(
     img: jnp.ndarray, wsize: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -79,32 +103,7 @@ def lr_sobel(
     axes are filled (:447-452).
     """
     gx, gy = masked_scharr(img)
-    half = wsize // 2
-    H, W = img.shape
-
-    def window_mean(g):
-        nz = (jnp.abs(g) > 1e-8).astype(jnp.float32)
-        ssum = lax.reduce_window(
-            g, jnp.float32(0), lax.add, (wsize, wsize), (1, 1),
-            ((half, half), (half, half)),
-        )
-        scnt = lax.reduce_window(
-            nz, jnp.float32(0), lax.add, (wsize, wsize), (1, 1),
-            ((half, half), (half, half)),
-        )
-        ok = scnt >= (wsize * wsize) // 4
-        return jnp.where(ok, ssum / jnp.maximum(scnt, 1.0), 0.0)
-
-    rows = jnp.arange(H)[:, None]
-    cols = jnp.arange(W)[None, :]
-    interior = (
-        (rows >= half) & (rows < H - half) & (cols >= half) & (cols < W - half)
-    )
-    zero = jnp.float32(0)
-    return (
-        jnp.where(interior, window_mean(gx), zero),
-        jnp.where(interior, window_mean(gy), zero),
-    )
+    return _window_mean_sparse(gx, wsize), _window_mean_sparse(gy, wsize)
 
 
 def gradient_img_fuse(pr_img: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray):
@@ -131,29 +130,4 @@ def lr_sobel_fuse(
     LR_Sobel + fuse."""
     gx, gy = masked_scharr(img)
     gx, gy = gradient_img_fuse(pr_img, gx, gy)
-    half = wsize // 2
-    H, W = img.shape
-
-    def window_mean(g):
-        nz = (jnp.abs(g) > 1e-8).astype(jnp.float32)
-        ssum = lax.reduce_window(
-            g, jnp.float32(0), lax.add, (wsize, wsize), (1, 1),
-            ((half, half), (half, half)),
-        )
-        scnt = lax.reduce_window(
-            nz, jnp.float32(0), lax.add, (wsize, wsize), (1, 1),
-            ((half, half), (half, half)),
-        )
-        ok = scnt >= (wsize * wsize) // 4
-        return jnp.where(ok, ssum / jnp.maximum(scnt, 1.0), 0.0)
-
-    rows = jnp.arange(H)[:, None]
-    cols = jnp.arange(W)[None, :]
-    interior = (
-        (rows >= half) & (rows < H - half) & (cols >= half) & (cols < W - half)
-    )
-    zero = jnp.float32(0)
-    return (
-        jnp.where(interior, window_mean(gx), zero),
-        jnp.where(interior, window_mean(gy), zero),
-    )
+    return _window_mean_sparse(gx, wsize), _window_mean_sparse(gy, wsize)
