@@ -262,6 +262,7 @@ def process_slice(
     sensor: SensorConfig,
     warm_start: bool = True,
     axis_name=None,
+    presorted: bool = False,
 ) -> SliceResult:
     """Process one slice end to end — jit over static (capacity, scale, res).
 
@@ -279,13 +280,20 @@ def process_slice(
     mode = cfg.scatter_mode
     if mode == "auto":
         mode = "pallas" if jax.default_backend() == "tpu" else "xla"
-    sorted_for_pallas = mode == "pallas" and axis_name is None
+    sorted_for_pallas = mode == "pallas" and axis_name is None and not presorted
     inv_order = None
     if sorted_for_pallas:
         from better_flow_tpu.ops.pallas.fused_model import sort_key_blocks
 
         order = jnp.argsort(sort_key_blocks(ev.x, ev.y, ev.valid))
-        inv_order = jnp.argsort(order)
+        # inverse permutation by unique-index scatter (cheaper than a
+        # second argsort on TPU)
+        inv_order = (
+            jnp.zeros_like(order)
+            .at[order]
+            .set(jnp.arange(order.shape[0], dtype=order.dtype),
+                 unique_indices=True)
+        )
         ev = EventSlice(*(jnp.take(f, order, axis=0) for f in ev))
 
     geom = slice_geometry(ev, scale, sensor, cfg.min_window_fraction, axis_name)

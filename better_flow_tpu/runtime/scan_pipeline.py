@@ -90,12 +90,16 @@ def plan_slices(t_ns: np.ndarray, cfg: PipelineConfig) -> SlicePlan:
     return SlicePlan(starts=starts, ends=ends, slice_start_ns=slice_start)
 
 
-def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int):
+def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
+                       spatial_sort: bool = True, band_rows: int = 32):
     """[S, CAP] SoA tensors + per-slice lengths and original indices.
 
-    Vectorized gather (one fancy-index per array): for a 77-slice x 50k
-    plan the Python-loop version cost ~1.3 s — a third of the whole device
-    run time."""
+    Vectorized gather (one fancy-index per array).  With ``spatial_sort``
+    each slice's events are ordered by the (row-band, column) key the
+    windowed Pallas kernel wants (ops/pallas/fused_model.sort_key_blocks) —
+    host-side, because per-slice device argsorts cost ~4 ms of the ~10 ms
+    slice budget.  ``idx`` carries original recording positions, so
+    accumulation and noise bookkeeping are order-agnostic."""
     S = len(plan.ends)
     lens = (plan.ends - plan.starts + 1).astype(np.int32)
     offsets = np.arange(cap, dtype=np.int64)[None, :]
@@ -108,6 +112,12 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int):
         valid, t_ns[safe] - plan.slice_start_ns[:, None], 0
     ).astype(np.float32)
     idx = np.where(valid, gidx, -1).astype(np.int32)
+    if spatial_sort:
+        key = (xs.astype(np.int64) // band_rows) * 4096 + ys.astype(np.int64)
+        key = np.where(valid, key, np.int64(1) << 40)
+        order = np.argsort(key, axis=1, kind="stable")
+        take = lambda a: np.take_along_axis(a, order, axis=1)
+        xs, ys, ts, idx = take(xs), take(ys), take(ts), take(idx)
     return xs, ys, ts, idx, lens
 
 
@@ -130,7 +140,9 @@ def _scan_slices(xs, ys, ts, idx, lens, init_model, cfg: PipelineConfig, n_total
         safe_idx = jnp.where(valid, sidx, n_total)
         noise = noise_all[jnp.minimum(safe_idx, n_total - 1)] & valid
         ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise)
-        res = process_slice(ev, model, opt, sensor, warm_start=warm)
+        # slices were spatially pre-sorted on the host (materialize_slices)
+        res = process_slice(ev, model, opt, sensor, warm_start=warm,
+                            presorted=True)
         noise_all = noise_all.at[safe_idx].set(res.noise & valid, mode="drop")
         out = (res.u, res.v, res.noise, res.iters, res.ran)
         return (res.model, noise_all), out
