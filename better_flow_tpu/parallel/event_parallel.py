@@ -185,6 +185,7 @@ def compensate_recording_scan_sharded(
     jax.block_until_ready(final_model)
     run_s = _time.perf_counter() - t0
 
+    # First-slice-wins by ORIGINAL index (slices are spatially sorted).
     u = np.asarray(u)
     v = np.asarray(v)
     noise_s = np.asarray(noise_s)
@@ -193,15 +194,14 @@ def compensate_recording_scan_sharded(
     acc_noise = np.zeros(n_total, bool)
     seen = np.zeros(n_total, bool)
     for s in range(S):
-        a, b = plan.starts[s], plan.ends[s] + 1
-        m = b - a
-        rng = np.arange(a, b)
-        fresh = ~seen[rng]
-        tgt = rng[fresh]
+        m = int(lens[s])
+        orig = idx[s, :m]
+        fresh = ~seen[orig]
+        tgt = orig[fresh]
         acc_u[tgt] = u[s, :m][fresh]
         acc_v[tgt] = v[s, :m][fresh]
         acc_noise[tgt] = noise_s[s, :m][fresh]
-        seen[rng] = True
+        seen[orig] = True
 
     return {
         "u": acc_u, "v": acc_v, "noise": acc_noise, "model": final_model,

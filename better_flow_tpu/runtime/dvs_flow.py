@@ -60,7 +60,8 @@ class DVSFlow:
         self.frame_count = 0
         self.on_slice: Optional[Callable[[SliceRecord], None]] = None
         self._jit = jax.jit(
-            process_slice, static_argnames=("cfg", "sensor", "warm_start")
+            process_slice,
+            static_argnames=("cfg", "sensor", "warm_start", "presorted"),
         )
 
     # ------------------------------------------------------------------ feed
@@ -127,17 +128,26 @@ class DVSFlow:
 
         t_local = (snap["timestamp"] - slice_start).astype(np.float32)
 
+        # Host-side spatial sort (the windowed Pallas kernel's chunk-local
+        # layout; cheap numpy argsort vs ~4 ms of device argsorts).
+        key = (snap["x"].astype(np.int64) // 32) * 4096 + snap["y"].astype(
+            np.int64
+        )
+        order = np.argsort(key, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(n)
+
         cap = self.buffer.capacity
         pad = cap - n
         ev = EventSlice(
-            x=jnp.asarray(np.concatenate([snap["x"], np.zeros(pad, np.float32)])),
-            y=jnp.asarray(np.concatenate([snap["y"], np.zeros(pad, np.float32)])),
-            t=jnp.asarray(np.concatenate([t_local, np.zeros(pad, np.float32)])),
+            x=jnp.asarray(np.concatenate([snap["x"][order], np.zeros(pad, np.float32)])),
+            y=jnp.asarray(np.concatenate([snap["y"][order], np.zeros(pad, np.float32)])),
+            t=jnp.asarray(np.concatenate([t_local[order], np.zeros(pad, np.float32)])),
             valid=jnp.asarray(
                 np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
             ),
             noise=jnp.asarray(
-                np.concatenate([snap["noise"], np.zeros(pad, bool)])
+                np.concatenate([snap["noise"][order], np.zeros(pad, bool)])
             ),
         )
 
@@ -146,7 +156,8 @@ class DVSFlow:
             self.last_model,
             self.cfg.optimizer,
             self.cfg.sensor,
-            not self.cfg.stm_disable,
+            warm_start=not self.cfg.stm_disable,
+            presorted=True,
         )
 
         # last_model = optimizer.get_model() (dvs_flow.h:224).  When stm is
@@ -154,11 +165,12 @@ class DVSFlow:
         # the stored model, matching the C++ (set_model simply not called).
         self.last_model = jax.tree_util.tree_map(jnp.asarray, res.model)
 
-        noise = np.asarray(res.noise)[:n]
-        u = np.asarray(res.u)[:n]
-        v = np.asarray(res.v)[:n]
-        pr_x = np.asarray(res.pr_x)[:n]
-        pr_y = np.asarray(res.pr_y)[:n]
+        # invert the spatial sort so writebacks land on the right events
+        noise = np.asarray(res.noise)[:n][inv]
+        u = np.asarray(res.u)[:n][inv]
+        v = np.asarray(res.v)[:n][inv]
+        pr_x = np.asarray(res.pr_x)[:n][inv]
+        pr_y = np.asarray(res.pr_y)[:n][inv]
         self.buffer.writeback(snap["index"], noise=noise, u=u, v=v,
                               pr_x=pr_x, pr_y=pr_y)
 

@@ -204,25 +204,28 @@ def compensate_recording_scan(
     jax.block_until_ready(final_model)
     t_run = time.perf_counter() - t_run0
 
-    # First-slice-wins accumulation by original index.
+    # First-slice-wins accumulation by ORIGINAL index: slices are spatially
+    # sorted, so entry j of slice s corresponds to original event
+    # idx[s, j], not plan.starts[s] + j.
     u = np.asarray(u)
     v = np.asarray(v)
     noise_s = np.asarray(noise_s)
+    idx_h = np.asarray(prepared["idx"])
+    lens_h = np.asarray(prepared["lens"])
     acc_u = np.zeros(n, np.float32)
     acc_v = np.zeros(n, np.float32)
     acc_noise = np.zeros(n, bool)
     seen = np.zeros(n, bool)
     S = len(plan.ends)
     for s in range(S):
-        a, b = plan.starts[s], plan.ends[s] + 1
-        m = b - a
-        rng = np.arange(a, b)
-        fresh = ~seen[rng]
-        tgt = rng[fresh]
+        m = int(lens_h[s])
+        orig = idx_h[s, :m]
+        fresh = ~seen[orig]
+        tgt = orig[fresh]
         acc_u[tgt] = u[s, :m][fresh]
         acc_v[tgt] = v[s, :m][fresh]
         acc_noise[tgt] = noise_s[s, :m][fresh]
-        seen[rng] = True
+        seen[orig] = True
 
     return {
         "u": acc_u,
