@@ -200,17 +200,12 @@ def _iteration_step(
     )
 
 
-def _run_optimizer(
-    init: GlobalFlowState,
-    ev: EventSlice,
-    geom: SliceGeometry,
-    scale: int,
-    H: int,
-    W: int,
-    cfg: OptimizerConfig,
-    axis_name=None,
-) -> GlobalFlowState:
-    """OptimizerRolling::run's adaptive loop (optimizer_rolling.h:60-111)."""
+def _adaptive_loop(init, step_fn, cfg: OptimizerConfig):
+    """OptimizerRolling::run's adaptive loop (optimizer_rolling.h:60-111),
+    parametrized over the iteration body (XLA-composed or fused-Pallas).
+
+    ``init`` must carry .model, the four dividers, and .iters; ``step_fn``
+    performs one iteration_step (splat -> model update -> re-warp)."""
     state = init._replace(
         x_div=jnp.float32(cfg.init_xy_divider),
         y_div=jnp.float32(cfg.init_xy_divider),
@@ -219,10 +214,9 @@ def _run_optimizer(
         iters=jnp.int32(0),
     )
     # One unconditional first step (:73-74).
-    state = _iteration_step(state, ev, geom, scale, H, W, axis_name,
-                            cfg.scatter_mode)
+    state = step_fn(state)
 
-    def cond(s: GlobalFlowState):
+    def cond(s):
         m = s.model
         dividers_open = (
             (s.x_div < cfg.xy_divider_cap)
@@ -239,10 +233,9 @@ def _run_optimizer(
         over_max = (cfg.max_iter > 0) & (s.iters > cfg.max_iter)
         return dividers_open & ~small & ~over_max & (s.iters < cfg.iter_hard_cap)
 
-    def body(s: GlobalFlowState):
+    def body(s):
         old = (s.model.dx, s.model.dy, s.model.rot, s.model.div)
-        s = _iteration_step(s, ev, geom, scale, H, W, axis_name,
-                            cfg.scatter_mode)
+        s = step_fn(s)
         m = s.model
         # Divider doubling on sign flips (:98-101).
         return s._replace(
@@ -253,6 +246,99 @@ def _run_optimizer(
         )
 
     return lax.while_loop(cond, body, state)
+
+
+def _run_optimizer(
+    init: GlobalFlowState,
+    ev: EventSlice,
+    geom: SliceGeometry,
+    scale: int,
+    H: int,
+    W: int,
+    cfg: OptimizerConfig,
+    axis_name=None,
+) -> GlobalFlowState:
+    """The XLA-composed optimizer loop (CPU / sharded paths)."""
+    step = lambda s: _iteration_step(s, ev, geom, scale, H, W, axis_name,
+                                     cfg.scatter_mode)
+    return _adaptive_loop(init, step, cfg)
+
+
+class FusedFlowState(NamedTuple):
+    """while_loop carry of the fused-Pallas path: warped positions live in
+    the kernel's chunked (n_chunks, 2, CHUNK) layout, never reshaped
+    mid-loop."""
+
+    pr: jnp.ndarray
+    model: MotionModel
+    x_div: jnp.ndarray
+    y_div: jnp.ndarray
+    rot_div: jnp.ndarray
+    div_div: jnp.ndarray
+    iters: jnp.ndarray
+
+
+def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W):
+    """Production TPU path: one pallas_call per iteration (in-kernel 4-param
+    re-warp + windowed MXU splat + finish), scalar model math between calls.
+
+    Structure vs the reference (optimizer_rolling.h:305-347): the iteration
+    boundary shifts so the re-warp that ENDS reference-iteration k runs at
+    the START of kernel call k+1 — the warm-start warp (set_model, :289-299)
+    is simply the first call's warp with the carried-in model, and the loop
+    exits with pr one warp behind the model; a single XLA
+    project_4param_reinit epilogue applies the final warp and recovers the
+    direction vectors (nx, ny) for compute_uv.  Per-event results are
+    bit-identical to the composed path (same f32 op order throughout).
+
+    Returns (model, pr_x, pr_y, nx, ny, iters)."""
+    from better_flow_tpu.ops.pallas.fused_model import (
+        fused_warp_splat,
+        prepare_chunk_layouts,
+    )
+    from better_flow_tpu.ops.reductions import model_from_partials
+
+    stat = prepare_chunk_layouts(ev.x, ev.y, ev.t, ev.active)
+
+    def step(s: FusedFlowState) -> FusedFlowState:
+        m = s.model
+        pr, p = fused_warp_splat(
+            stat, s.pr, scale,
+            geom.x_shift, geom.y_shift, geom.w_dyn, geom.h_dyn,
+            -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
+            H, W,
+        )
+        cx_img, cy_img, terms = model_from_partials(p)
+        model = m._replace(
+            cx=cx_img, cy=cy_img, dx=terms.dx, dy=terms.dy,
+            rot=terms.rot, div=terms.div, cnt=terms.cnt,
+        )
+        model = model.update_accumulators(
+            s.rot_div, s.div_div, s.x_div, s.y_div
+        )
+        cx_ev = (model.cx - geom.x_shift) / scale
+        cy_ev = (model.cy - geom.y_shift) / scale
+        model = model._replace(cx=cx_ev, cy=cy_ev)
+        return s._replace(pr=pr, model=model, iters=s.iters + 1)
+
+    init = FusedFlowState(
+        pr=stat[:, 0:2],   # positions start at the original pixels (pr = fr)
+        model=model0,
+        x_div=jnp.float32(1), y_div=jnp.float32(1),
+        rot_div=jnp.float32(1), div_div=jnp.float32(1),
+        iters=jnp.int32(0),
+    )
+    final = _adaptive_loop(init, step, cfg)
+
+    cap = ev.x.shape[0]
+    pr_prev_x = final.pr[:, 0].reshape(-1)[:cap]
+    pr_prev_y = final.pr[:, 1].reshape(-1)[:cap]
+    m = final.model
+    pr_x, pr_y, nx, ny = project_4param_reinit(
+        ev.x, ev.y, ev.t, pr_prev_x, pr_prev_y,
+        -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
+    )
+    return m, pr_x, pr_y, nx, ny, final.iters
 
 
 def process_slice(
@@ -298,20 +384,7 @@ def process_slice(
 
     geom = slice_geometry(ev, scale, sensor, cfg.min_window_fraction, axis_name)
 
-    # set_cloud resets every event: pr = fr, n = 0 (event.h:54-59).
-    pr_x, pr_y = ev.x, ev.y
-    nx = jnp.zeros_like(ev.x)
-    ny = jnp.zeros_like(ev.y)
-
     model = last_model if warm_start else MotionModel.zero()
-    # Warm-start warp (set_model, optimizer_rolling.h:289-299): re-apply the
-    # previous slice's accumulated warp about its event-coordinate centroid.
-    # With a zero model this is the identity.
-    pr_x, pr_y, nx, ny = project_4param_reinit(
-        ev.x, ev.y, ev.t, pr_x, pr_y,
-        -model.total_dx, -model.total_dy, model.cx, model.cy,
-        model.total_div, -model.total_rot,
-    )
 
     n_events = jnp.sum(ev.valid.astype(jnp.int32))
     if axis_name is not None:
@@ -319,30 +392,61 @@ def process_slice(
     too_few = n_events < cfg.min_events  # optimizer_rolling.h:57
     ran = ~geom.window_small & ~too_few
 
-    init = GlobalFlowState(
-        pr_x=pr_x, pr_y=pr_y, nx=nx, ny=ny, model=model,
-        x_div=jnp.float32(1), y_div=jnp.float32(1),
-        rot_div=jnp.float32(1), div_div=jnp.float32(1),
-        iters=jnp.int32(0),
-    )
-    final = lax.cond(
-        ran,
-        lambda s: _run_optimizer(s, ev, geom, scale, H, W, cfg, axis_name),
-        lambda s: s,
-        init,
-    )
+    if mode == "pallas" and axis_name is None:
+        # Fused production path (one pallas_call per iteration).  The
+        # not-ran branch applies only the warm-start warp (set_model), which
+        # is what the composed path's init state holds.
+        def _skip(_):
+            pr_x, pr_y, nx, ny = project_4param_reinit(
+                ev.x, ev.y, ev.t, ev.x, ev.y,
+                -model.total_dx, -model.total_dy, model.cx, model.cy,
+                model.total_div, -model.total_rot,
+            )
+            return model, pr_x, pr_y, nx, ny, jnp.int32(0)
+
+        final_model, pr_x, pr_y, nx, ny, iters = lax.cond(
+            ran,
+            lambda _: _run_fused(ev, geom, model, cfg, scale, H, W),
+            _skip,
+            0,
+        )
+    else:
+        # set_cloud resets every event: pr = fr, n = 0 (event.h:54-59).
+        # Warm-start warp (set_model, optimizer_rolling.h:289-299): re-apply
+        # the previous slice's accumulated warp about its event-coordinate
+        # centroid.  With a zero model this is the identity.
+        pr_x, pr_y, nx, ny = project_4param_reinit(
+            ev.x, ev.y, ev.t, ev.x, ev.y,
+            -model.total_dx, -model.total_dy, model.cx, model.cy,
+            model.total_div, -model.total_rot,
+        )
+        init = GlobalFlowState(
+            pr_x=pr_x, pr_y=pr_y, nx=nx, ny=ny, model=model,
+            x_div=jnp.float32(1), y_div=jnp.float32(1),
+            rot_div=jnp.float32(1), div_div=jnp.float32(1),
+            iters=jnp.int32(0),
+        )
+        final = lax.cond(
+            ran,
+            lambda s: _run_optimizer(s, ev, geom, scale, H, W, cfg, axis_name),
+            lambda s: s,
+            init,
+        )
+        final_model = final.model
+        pr_x, pr_y, nx, ny = final.pr_x, final.pr_y, final.nx, final.ny
+        iters = final.iters
 
     # The degenerate-window gate marks every event noise
     # (optimizer_rolling.h:52-54); the too-few gate does not.
     noise = ev.noise | (geom.window_small & ev.valid)
 
-    u, v = compute_uv(final.nx, final.ny)
-    per_event = [final.pr_x, final.pr_y, final.nx, final.ny, u, v, noise]
+    u, v = compute_uv(nx, ny)
+    per_event = [pr_x, pr_y, nx, ny, u, v, noise]
     if inv_order is not None:
         per_event = [jnp.take(a, inv_order, axis=0) for a in per_event]
     pr_x_o, pr_y_o, nx_o, ny_o, u_o, v_o, noise_o = per_event
     return SliceResult(
-        model=final.model,
+        model=final_model,
         pr_x=pr_x_o,
         pr_y=pr_y_o,
         nx=nx_o,
@@ -350,7 +454,7 @@ def process_slice(
         u=u_o,
         v=v_o,
         noise=noise_o,
-        iters=final.iters,
+        iters=iters,
         ran=ran,
     )
 

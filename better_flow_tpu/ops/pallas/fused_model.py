@@ -37,6 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from better_flow_tpu.config import NONZERO_EPS
+from better_flow_tpu.config import NZ as _NZ
+from better_flow_tpu.config import WARP_TIME_DIV as _WARP_TIME_DIV
 
 # Events per grid step.  Larger chunks amortize per-step overhead and give
 # the MXU a deeper contraction (K=2048); swept 512/1024/2048 on v5e -> 2048
@@ -292,6 +294,182 @@ def fused_model_partials(
 
 
 # --------------------------------------------------------------------------
+# Fully fused iteration: 4-param re-warp + windowed splat + finish in ONE
+# pallas_call.  The re-warp (Event::project_4param_reinit, event.h:99-110;
+# dispatched per iteration in optimizer_rolling.h:340-344) previously ran as
+# a separate XLA pass over all events, followed by 14 pad/reshape ops to
+# build the kernel's dual-orientation inputs — all per optimizer iteration.
+# Fusing the warp makes the (fr, t, active) layouts loop-INVARIANT (prepared
+# once per slice); the while_loop body becomes one pallas_call whose carry is
+# the warped positions in both orientations, plus scalar model math.
+#
+# The warp is iterative in pr (the rotation delta reads the previous
+# projected position), so prev-pr rides the carry; the direction vector n is
+# never needed mid-loop and is recomputed once at the end by a single XLA
+# project_4param_reinit epilogue (models/global_flow._run_fused).
+
+
+def _warp_chunk(frx, fry, t_ns, prx_p, pry_p,
+                dnx_, dny_, cx, cy, divp, cosv, sinv):
+    """In-kernel Event::project_4param_reinit — op order matches ops/warp.py
+    exactly (f32 throughout) so results are identical to the XLA path."""
+    rx = prx_p - cx
+    ry = pry_p - cy
+    rpx = cosv * rx - sinv * ry
+    rpy = sinv * rx + cosv * ry
+    nx = -rpx * divp + (rpx - rx) + dnx_
+    ny = -rpy * divp + (rpy - ry) + dny_
+    kx = nx / jnp.float32(_NZ)
+    ky = ny / jnp.float32(_NZ)
+    ts = t_ns / jnp.float32(_WARP_TIME_DIV)
+    return frx - kx * ts, fry - ky * ts
+
+
+def _kernel_warp_windowed(
+    scal_ref, stat_ref, pr_ref, npr_ref, out_ref,
+    acc_t, acc_c, *, scale: int, HP: int, WP: int, H: int, W: int,
+):
+    """Per chunk: unpack the (4, CHUNK) static block [fr_x, fr_y, t_ns,
+    active] and the (2, CHUNK) position carry [pr_x, pr_y]; warp; write the
+    new positions; transpose the warped column indices to (CHUNK, 1) for the
+    col one-hot (Mosaic supports the (1, C) -> (C, 1) transpose); splat."""
+    pid = pl.program_id(0)
+    n_prog = pl.num_programs(0)
+    half = scale // 2
+
+    @pl.when(pid == 0)
+    def _init():
+        acc_t[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        acc_c[:, :] = jnp.zeros((HP, WP), jnp.float32)
+
+    x_sh = scal_ref[0, 0]
+    y_sh = scal_ref[0, 1]
+    wd = scal_ref[0, 2]
+    hd = scal_ref[0, 3]
+    dnx_ = scal_ref[0, 4]
+    dny_ = scal_ref[0, 5]
+    cx = scal_ref[0, 6]
+    cy = scal_ref[0, 7]
+    divp = scal_ref[0, 8]
+    cosv = scal_ref[0, 9]
+    sinv = scal_ref[0, 10]
+
+    stat = stat_ref[0]          # (4, CHUNK)
+    frx = stat[0:1]
+    fry = stat[1:2]
+    t_ns = stat[2:3]
+    act = stat[3:4]
+    prb = pr_ref[0]             # (2, CHUNK)
+
+    prx, pry = _warp_chunk(
+        frx, fry, t_ns, prb[0:1], prb[1:2],
+        dnx_, dny_, cx, cy, divp, cosv, sinv,
+    )
+    npr_ref[0, 0:1] = prx
+    npr_ref[0, 1:2] = pry
+
+    fx = prx * jnp.float32(scale) + x_sh
+    fy = pry * jnp.float32(scale) + y_sh
+    ix = fx.astype(jnp.int32)   # trunc toward zero, like the C++ cast
+    iy = fy.astype(jnp.int32)
+    ok = (
+        (act > 0)
+        & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
+        & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
+    )
+    row = jnp.where(ok, ix, -1)                  # (1, CHUNK)
+    col = jnp.transpose(jnp.where(ok, iy, -1))   # (CHUNK, 1)
+
+    t_sec = t_ns / jnp.float32(1e9)
+    _windowed_splat(acc_t, acc_c, row, col, t_sec, HP, WP)
+
+    @pl.when(pid == n_prog - 1)
+    def _finish():
+        _finish_phase(acc_t, acc_c, out_ref, scale, HP, WP, H, W)
+
+
+def prepare_chunk_layouts(x, y, t_ns, active):
+    """Pack the loop-invariant event data into the fused kernel's chunked
+    layout, once per slice: (n_chunks, 4, CHUNK) with rows [fr_x, fr_y,
+    t_ns, active].  Times stay in f32 nanoseconds (the warp's unit; the
+    kernel derives seconds for the splat weights itself)."""
+    n = x.shape[0]
+    n_pad = _round_up(max(n, CHUNK), CHUNK)
+
+    def pad(a):
+        return jnp.pad(a.astype(jnp.float32), (0, n_pad - n)).reshape(
+            n_pad // CHUNK, 1, CHUNK
+        )
+
+    return jnp.concatenate(
+        [pad(x), pad(y), pad(t_ns), pad(active.astype(jnp.float32))], axis=1
+    )
+
+
+def fused_warp_splat(
+    stat, pr, scale: int,
+    x_sh, y_sh, w_dyn, h_dyn, dnx_, dny_, cx, cy, divp, crl,
+    H: int, W: int,
+):
+    """One optimizer iteration's event phase: re-warp every event with the
+    accumulated model (about event-coordinate centroid (cx, cy)) and splat
+    the warped positions.  ``stat`` is prepare_chunk_layouts' static pack;
+    ``pr`` is the (n_chunks, 2, CHUNK) position carry.  Returns (new_pr,
+    partials).  cos/sin of the rotation are taken on ``crl`` exactly as
+    ops/warp._divcrl_dn does."""
+    HP = _round_up(max(H + 8, RH), 8)
+    WP = _round_up(max(W + 8, WC), 128)
+    n_chunks = stat.shape[0]
+
+    scal = jnp.stack(
+        [jnp.asarray(v, jnp.float32) for v in
+         (x_sh, y_sh, w_dyn, h_dyn, dnx_, dny_, cx, cy, divp,
+          jnp.cos(crl), jnp.sin(crl))]
+        + [jnp.float32(0)] * 5
+    ).reshape(1, 16)
+
+    kern = functools.partial(_kernel_warp_windowed, scale=scale,
+                             HP=HP, WP=WP, H=H, W=W)
+    npr, out = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, 2, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((HP, WP), jnp.float32),
+            pltpu.VMEM((HP, WP), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(scal, stat, pr)
+    partials = {
+        "cnt": out[0, 0],
+        "s_row": out[0, 1],
+        "s_col": out[0, 2],
+        "s_gx": out[0, 3],
+        "s_gy": out[0, 4],
+        "s_rg": out[0, 5],
+        "s_dg": out[0, 6],
+    }
+    return npr, partials
+
+
+# --------------------------------------------------------------------------
 # Block-windowed variant: events pre-sorted by original (row-band, column)
 # make each chunk spatially local, so its one-hot joint only spans an
 # (RH x WC) window of the image instead of (HP x WP) — ~9x fewer MXU flops
@@ -322,6 +500,41 @@ def _splat_window(acc_t, acc_c, row, col, ok, t0, w_hi, w_lo, r_lo, c_lo,
     else:
         acc_t[pl.ds(r_lo, rh), pl.ds(c_lo, wc)] += contrib_t
         acc_c[pl.ds(r_lo, rh), pl.ds(c_lo, wc)] += contrib_c
+
+
+def _windowed_splat(acc_t, acc_c, row, col, t_sec, HP: int, WP: int):
+    """Shared window-placement + splat: picks an aligned (RH, WC) window from
+    the chunk's accepted extent, falls back to the full joint on escape, and
+    skips entirely when the chunk has no accepted events (padding tails).
+
+    ``row`` (1, C) / ``col`` (C, 1) hold scaled image indices with -1 for
+    rejected events."""
+    big = jnp.int32(1 << 20)
+    r_min = jnp.min(jnp.where(row >= 0, row, big))
+    c_min = jnp.min(jnp.where(col >= 0, col, big))
+    r_max = jnp.max(row)
+    c_max = jnp.max(col)
+    r_lo = jnp.clip((r_min // 8) * 8, 0, HP - RH)
+    c_lo = jnp.clip((c_min // 128) * 128, 0, WP - WC)
+    r_lo = pl.multiple_of(r_lo, 8)
+    c_lo = pl.multiple_of(c_lo, 128)
+    nonempty = r_min < big
+    fits = (r_max < r_lo + RH) & (c_max < c_lo + WC) & nonempty
+
+    t0 = t_sec[0, 0]
+    tr = t_sec - t0
+    w_hi = tr.astype(jnp.bfloat16)
+    w_lo = (tr - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    @pl.when(fits)
+    def _windowed():
+        _splat_window(acc_t, acc_c, row, col, None, t0, w_hi, w_lo,
+                      r_lo, c_lo, RH, WC, HP, WP)
+
+    @pl.when(~fits & nonempty)
+    def _full():
+        _splat_window(acc_t, acc_c, row, col, None, t0, w_hi, w_lo,
+                      0, 0, HP, WP, HP, WP)
 
 
 def _kernel_windowed(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref,
@@ -365,36 +578,9 @@ def _kernel_windowed(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref,
     act_c = act_c_ref[0]
     _, iy_c, ok_c = accept(prx_c, pry_c, act_c)
 
-    # Window placement from this chunk's (accepted) extent, floored to
-    # hardware-aligned offsets and clamped so the window stays in bounds.
-    big = jnp.int32(1 << 20)
-    r_min = jnp.min(jnp.where(ok_r, ix_r, big))
-    c_min = jnp.min(jnp.where(ok_c, iy_c, big))
-    r_max = jnp.max(jnp.where(ok_r, ix_r, -1))
-    c_max = jnp.max(jnp.where(ok_c, iy_c, -1))
-    r_lo = jnp.clip((r_min // 8) * 8, 0, HP - RH)
-    c_lo = jnp.clip((c_min // 128) * 128, 0, WP - WC)
-    r_lo = pl.multiple_of(r_lo, 8)
-    c_lo = pl.multiple_of(c_lo, 128)
-    fits = (r_max < r_lo + RH) & (c_max < c_lo + WC) & (r_min < big)
-
-    t0 = t_sec[0, 0]
-    tr = t_sec - t0
-    w_hi = tr.astype(jnp.bfloat16)
-    w_lo = (tr - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
     row = jnp.where(ok_r, ix_r, -1)
     col = jnp.where(ok_c, iy_c, -1)
-
-    @pl.when(fits)
-    def _windowed():
-        _splat_window(acc_t, acc_c, row, col, ok_r, t0, w_hi, w_lo,
-                      r_lo, c_lo, RH, WC, HP, WP)
-
-    @pl.when(~fits)
-    def _full():
-        _splat_window(acc_t, acc_c, row, col, ok_r, t0, w_hi, w_lo,
-                      0, 0, HP, WP, HP, WP)
+    _windowed_splat(acc_t, acc_c, row, col, t_sec, HP, WP)
 
     @pl.when(pid == n_prog - 1)
     def _finish():
