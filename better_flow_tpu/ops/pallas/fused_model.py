@@ -225,7 +225,7 @@ def fused_model_partials(
     """
     n = pr_x.shape[0]
     n_pad = _round_up(max(n, CHUNK), CHUNK)
-    HP = _round_up(H + 8, 8)
+    HP = _round_up(H + 8, 32)   # 32: int8 MXU tile rows
     WP = _round_up(W + 8, 128)
 
     def pad_row(a):
@@ -417,7 +417,7 @@ def fused_warp_splat(
     ``pr`` is the (n_chunks, 2, CHUNK) position carry.  Returns (new_pr,
     partials).  cos/sin of the rotation are taken on ``crl`` exactly as
     ops/warp._divcrl_dn does."""
-    HP = _round_up(max(H + 8, RH), 8)
+    HP = _round_up(max(H + 8, RH), 32)   # 32: int8 MXU tile rows
     WP = _round_up(max(W + 8, WC), 128)
     n_chunks = stat.shape[0]
 
@@ -483,12 +483,19 @@ WC = 256   # window cols (multiple of 128)
 
 def _splat_window(acc_t, acc_c, row, col, ok, t0, w_hi, w_lo, r_lo, c_lo,
                   rh: int, wc: int, HP: int, WP: int):
-    """One chunk's 3-pass one-hot contribution into acc[r_lo:+rh, c_lo:+wc]."""
+    """One chunk's one-hot contribution into acc[r_lo:+rh, c_lo:+wc]: an int8
+    MXU pass for the exact counts (2x bf16 rate on v5e) + two bf16 passes for
+    the hi/lo time weights."""
     rows_i = lax.broadcasted_iota(jnp.int32, (rh, row.shape[1]), 0) + r_lo
     cols_i = lax.broadcasted_iota(jnp.int32, (col.shape[0], wc), 1) + c_lo
-    oh_r = (rows_i == row).astype(jnp.bfloat16)
-    oh_c = (cols_i == col).astype(jnp.bfloat16)
-    contrib_c = jnp.dot(oh_r, oh_c, preferred_element_type=jnp.float32)
+    hit_r = rows_i == row
+    hit_c = cols_i == col
+    oh_r = hit_r.astype(jnp.bfloat16)
+    oh_c = hit_c.astype(jnp.bfloat16)
+    contrib_c = jnp.dot(
+        hit_r.astype(jnp.int8), hit_c.astype(jnp.int8),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
     contrib_t = (
         t0 * contrib_c
         + jnp.dot(oh_r * w_hi, oh_c, preferred_element_type=jnp.float32)
@@ -612,7 +619,7 @@ def fused_model_partials_windowed(
     full-height joint for that chunk."""
     n = pr_x.shape[0]
     n_pad = _round_up(max(n, CHUNK), CHUNK)
-    HP = _round_up(max(H + 8, RH), 8)
+    HP = _round_up(max(H + 8, RH), 32)   # 32: int8 MXU tile rows
     WP = _round_up(max(W + 8, WC), 128)
 
     def pad_row(a):

@@ -91,7 +91,8 @@ def plan_slices(t_ns: np.ndarray, cfg: PipelineConfig) -> SlicePlan:
 
 
 def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
-                       spatial_sort: bool = True, band_rows: int = 32):
+                       spatial_sort: bool = True, band_rows: int = 32,
+                       band_pad: bool = False, res_x: int = 0):
     """[S, CAP] SoA tensors + per-slice lengths and original indices.
 
     Vectorized gather (one fancy-index per array).  With ``spatial_sort``
@@ -99,7 +100,14 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
     windowed Pallas kernel wants (ops/pallas/fused_model.sort_key_blocks) —
     host-side, because per-slice device argsorts cost ~4 ms of the ~10 ms
     slice budget.  ``idx`` carries original recording positions, so
-    accumulation and noise bookkeeping are order-agnostic."""
+    accumulation and noise bookkeeping are order-agnostic.
+
+    ``band_pad`` additionally pads each row band to a kernel-CHUNK boundary
+    so no event chunk spans two bands: band-crossing chunks cover >=2x the
+    window height and forced the kernel's full-joint fallback (~10x the
+    windowed splat cost) for ~20% of chunks.  The returned capacity grows to
+    cap + n_bands*CHUNK rounded up; padding slots have idx == -1 (NOT a
+    prefix — consumers must mask on idx >= 0, not arange < len)."""
     S = len(plan.ends)
     lens = (plan.ends - plan.starts + 1).astype(np.int32)
     offsets = np.arange(cap, dtype=np.int64)[None, :]
@@ -113,11 +121,45 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
     ).astype(np.float32)
     idx = np.where(valid, gidx, -1).astype(np.int32)
     if spatial_sort:
-        key = (xs.astype(np.int64) // band_rows) * 4096 + ys.astype(np.int64)
+        band = xs.astype(np.int64) // band_rows
+        key = band * 4096 + ys.astype(np.int64)
         key = np.where(valid, key, np.int64(1) << 40)
         order = np.argsort(key, axis=1, kind="stable")
         take = lambda a: np.take_along_axis(a, order, axis=1)
         xs, ys, ts, idx = take(xs), take(ys), take(ts), take(idx)
+        if band_pad:
+            from better_flow_tpu.ops.pallas.fused_model import CHUNK
+
+            n_bands = max(int(res_x) + band_rows - 1, band_rows) // band_rows
+            capp = -(-(cap + n_bands * (CHUNK - 1)) // CHUNK) * CHUNK
+            valid_s = idx >= 0
+            band_s = np.where(valid_s, xs.astype(np.int64) // band_rows,
+                              n_bands)                  # sentinel -> tail
+            # per (slice, band) counts -> chunk-aligned band bases
+            flat = (np.arange(S)[:, None] * (n_bands + 1) + band_s).ravel()
+            cnt = np.bincount(flat, minlength=S * (n_bands + 1)).reshape(
+                S, n_bands + 1
+            )[:, :n_bands].astype(np.int64)
+            padded = -(-cnt // CHUNK) * CHUNK
+            base = np.concatenate(
+                [np.zeros((S, 1), np.int64), np.cumsum(padded, axis=1)], axis=1
+            )
+            first = np.concatenate(
+                [np.zeros((S, 1), np.int64), np.cumsum(cnt, axis=1)], axis=1
+            )
+            j = np.arange(xs.shape[1], dtype=np.int64)[None, :]
+            bs = np.minimum(band_s, n_bands - 1)
+            pos = base[np.arange(S)[:, None], bs] + (j - first[np.arange(S)[:, None], bs])
+            rows = np.repeat(np.arange(S), xs.shape[1])[valid_s.ravel()]
+            cols = pos.ravel()[valid_s.ravel()]
+
+            def scatter(a, fill=0):
+                out = np.full((S, capp), fill, a.dtype)
+                out[rows, cols] = a[valid_s]
+                return out
+
+            xs, ys, ts = scatter(xs), scatter(ys), scatter(ts)
+            idx = scatter(idx, fill=-1)
     return xs, ys, ts, idx, lens
 
 
@@ -127,16 +169,16 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
 )
 def _scan_slices(xs, ys, ts, idx, lens, init_model, cfg: PipelineConfig, n_total: int):
     """One compiled program over all slices."""
-    cap = xs.shape[1]
     opt = cfg.optimizer
     sensor = cfg.sensor
     warm = not cfg.stm_disable
-    pos = jnp.arange(cap, dtype=jnp.int32)
 
     def step(carry, inputs):
         model, noise_all = carry
         sx, sy, st, sidx, slen = inputs
-        valid = pos < slen
+        # Validity by original index, not prefix: band-padded layouts
+        # interleave padding inside the slice (materialize_slices).
+        valid = sidx >= 0
         safe_idx = jnp.where(valid, sidx, n_total)
         noise = noise_all[jnp.minimum(safe_idx, n_total - 1)] & valid
         ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise)
@@ -151,7 +193,11 @@ def _scan_slices(xs, ys, ts, idx, lens, init_model, cfg: PipelineConfig, n_total
     (final_model, noise_all), outs = lax.scan(
         step, (init_model, noise0), (xs, ys, ts, idx, lens)
     )
-    return final_model, noise_all, outs
+    # Scalar checksum over the bulk outputs: fetching it to the host forces
+    # true program completion (block_until_ready alone has shown async
+    # under-measurement artifacts through the axon relay).
+    chk = jnp.sum(outs[0]) + jnp.sum(outs[1])
+    return final_model, noise_all, outs, chk
 
 
 def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
@@ -162,7 +208,10 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
     t_ns = np.ascontiguousarray(t_ns, np.int64)
     t0 = time.perf_counter()
     plan = plan_slices(t_ns, cfg)
-    xs, ys, ts, idx, lens = materialize_slices(x, y, t_ns, plan, cfg.slice.max_events)
+    xs, ys, ts, idx, lens = materialize_slices(
+        x, y, t_ns, plan, cfg.slice.max_events,
+        band_pad=True, res_x=cfg.sensor.res_x,
+    )
     prepared = {
         "plan": plan,
         "xs": jnp.asarray(xs), "ys": jnp.asarray(ys), "ts": jnp.asarray(ts),
@@ -197,11 +246,11 @@ def compensate_recording_scan(
 
     model0 = init_model or MotionModel.zero()
     t_run0 = time.perf_counter()
-    final_model, noise_all, (u, v, noise_s, iters, ran) = _scan_slices(
+    final_model, noise_all, (u, v, noise_s, iters, ran), chk = _scan_slices(
         prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
         prepared["lens"], model0, cfg, n,
     )
-    jax.block_until_ready(final_model)
+    float(np.asarray(chk))  # host fetch: forces true completion (see _scan_slices)
     t_run = time.perf_counter() - t_run0
 
     # First-slice-wins accumulation by ORIGINAL index: slices are spatially
@@ -211,20 +260,19 @@ def compensate_recording_scan(
     v = np.asarray(v)
     noise_s = np.asarray(noise_s)
     idx_h = np.asarray(prepared["idx"])
-    lens_h = np.asarray(prepared["lens"])
     acc_u = np.zeros(n, np.float32)
     acc_v = np.zeros(n, np.float32)
     acc_noise = np.zeros(n, bool)
     seen = np.zeros(n, bool)
     S = len(plan.ends)
     for s in range(S):
-        m = int(lens_h[s])
-        orig = idx_h[s, :m]
+        m = idx_h[s] >= 0          # band-padded layouts are not a prefix
+        orig = idx_h[s][m]
         fresh = ~seen[orig]
         tgt = orig[fresh]
-        acc_u[tgt] = u[s, :m][fresh]
-        acc_v[tgt] = v[s, :m][fresh]
-        acc_noise[tgt] = noise_s[s, :m][fresh]
+        acc_u[tgt] = u[s][m][fresh]
+        acc_v[tgt] = v[s][m][fresh]
+        acc_noise[tgt] = noise_s[s][m][fresh]
         seen[orig] = True
 
     return {
