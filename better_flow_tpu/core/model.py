@@ -26,11 +26,17 @@ class MotionModel(NamedTuple):
     total_dy: jnp.ndarray
     total_rot: jnp.ndarray
     total_div: jnp.ndarray
+    comp_dx: jnp.ndarray    # Kahan compensation of the totals: the reference
+    comp_dy: jnp.ndarray    # accumulates in double (object_model.h:10-13);
+    comp_rot: jnp.ndarray   # naive f32 sums drift over the hundreds of
+    comp_div: jnp.ndarray   # iterations a recording chains through, and the
+    # warm-start slice chain is chaotic enough to bifurcate on that drift
+    # (PARITY.md "Known behavioural divergence").
 
     @staticmethod
     def zero() -> "MotionModel":
         z = jnp.float32(0.0)
-        return MotionModel(z, z, z, z, z, z, z, z, z, z, z)
+        return MotionModel(*([z] * 15))
 
     def update_accumulators(self, d_rot, d_div, d_x, d_y) -> "MotionModel":
         """total_p += p / divider — the gradient step.
@@ -38,13 +44,23 @@ class MotionModel(NamedTuple):
         Argument order matches ObjectModel::update_accumulators(d1..d4)
         (object_model.h:48-53): d1 divides rot, d2 div, d3 dx, d4 dy.  The
         production call site passes (rot_divider, div_divider, x_divider,
-        y_divider) (optimizer_rolling.h:328).
+        y_divider) (optimizer_rolling.h:328).  Sums are Kahan-compensated.
         """
+
+        def kadd(total, comp, delta):
+            y = delta - comp
+            t = total + y
+            return t, (t - total) - y
+
+        total_rot, comp_rot = kadd(self.total_rot, self.comp_rot, self.rot / d_rot)
+        total_div, comp_div = kadd(self.total_div, self.comp_div, self.div / d_div)
+        total_dx, comp_dx = kadd(self.total_dx, self.comp_dx, self.dx / d_x)
+        total_dy, comp_dy = kadd(self.total_dy, self.comp_dy, self.dy / d_y)
         return self._replace(
-            total_rot=self.total_rot + self.rot / d_rot,
-            total_div=self.total_div + self.div / d_div,
-            total_dx=self.total_dx + self.dx / d_x,
-            total_dy=self.total_dy + self.dy / d_y,
+            total_rot=total_rot, comp_rot=comp_rot,
+            total_div=total_div, comp_div=comp_div,
+            total_dx=total_dx, comp_dx=comp_dx,
+            total_dy=total_dy, comp_dy=comp_dy,
         )
 
     def pretty(self) -> str:

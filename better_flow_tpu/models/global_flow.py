@@ -105,6 +105,10 @@ class SliceResult(NamedTuple):
     noise: jnp.ndarray      # updated noise flags
     iters: jnp.ndarray      # optimizer iterations executed (0 if gated)
     ran: jnp.ndarray        # whether the optimizer ran
+    window_small: jnp.ndarray  # scalar: the degenerate-window gate fired —
+    # the only per-slice noise SOURCE (optimizer_rolling.h:52-54), so slice
+    # runtimes can reconstruct noise flags from this scalar history instead
+    # of carrying a per-event global array (see scan_pipeline._scan_body)
 
 
 def _iteration_step(
@@ -456,6 +460,7 @@ def process_slice(
         noise=noise_o,
         iters=iters,
         ran=ran,
+        window_small=geom.window_small,
     )
 
 

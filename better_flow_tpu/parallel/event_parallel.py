@@ -59,7 +59,7 @@ def process_slice_event_parallel(
         model=model_spec,
         pr_x=P(AXIS), pr_y=P(AXIS), nx=P(AXIS), ny=P(AXIS),
         u=P(AXIS), v=P(AXIS), noise=P(AXIS),
-        iters=P(), ran=P(),
+        iters=P(), ran=P(), window_small=P(),
     )
 
     fn = jax.shard_map(
@@ -100,9 +100,11 @@ def compensate_recording_scan_sharded(
     Inside shard_map, every device scatters its event shard (pre-filter
     images psum'd per iteration via axis_name='ev'); the warm-start model
     stays replicated because every device sees identical psum'd reductions.
-    Cross-slice noise persistence is kept replicated by all_gathering each
-    slice's noise flags (50 kB — ICI noise) and applying the identical
-    update everywhere.
+    Cross-slice noise persistence needs NO communication: the only noise
+    source is the per-slice window gate (whose verdict is already
+    replicated via the psum'd bounding box), so each shard reconstructs
+    its events' flags from a replicated scalar history of
+    (window_small, start, end) — see scan_pipeline._run_scan.
 
     This is the 1-host/N-chip and (over DCN meshes) N-host measurement
     configuration of BASELINE.md's scaling protocol.
@@ -135,31 +137,41 @@ def compensate_recording_scan_sharded(
     warm = not cfg.stm_disable
     local_cap = cap // n_dev
     S = xs.shape[0]
+    first_overlap = np.searchsorted(plan.ends, plan.starts)
+    hist_k = max(1, int(np.max(np.arange(S) - first_overlap, initial=1)))
+    starts_d = jnp.asarray(plan.starts.astype(np.int32))
+    ends_d = jnp.asarray(plan.ends.astype(np.int32))
 
-    def local_scan(xs, ys, ts, idx, lens, model0):
+    def local_scan(xs, ys, ts, idx, lens, starts, ends, model0):
         dev = lax.axis_index(AXIS)
         pos = dev * local_cap + jnp.arange(local_cap, dtype=jnp.int32)
 
         def step(carry, inputs):
-            model, noise_all = carry
-            sx, sy, st, sidx, slen = inputs
+            model, ws_h, st_h, en_h = carry
+            sx, sy, st, sidx, slen, start, end = inputs
             valid = pos < slen
-            safe_idx = jnp.where(valid & (sidx >= 0), sidx, n_total - 1)
-            noise = noise_all[safe_idx] & valid
-            ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise)
+            noise = jnp.zeros_like(valid)
+            for j in range(hist_k):
+                noise |= ws_h[j] & (sidx >= st_h[j]) & (sidx <= en_h[j])
+            ev = EventSlice(x=sx, y=sy, t=st, valid=valid,
+                            noise=noise & valid)
             res = process_slice(ev, model, opt, sensor, warm_start=warm,
                                 axis_name=AXIS)
-            # replicate the noise update across the mesh
-            noise_g = lax.all_gather(res.noise & valid, AXIS, tiled=True)
-            idx_g = lax.all_gather(sidx, AXIS, tiled=True)
-            valid_g = lax.all_gather(valid, AXIS, tiled=True)
-            tgt = jnp.where(valid_g & (idx_g >= 0), idx_g, n_total)
-            noise_all = noise_all.at[tgt].set(noise_g, mode="drop")
-            return (res.model, noise_all), (res.u, res.v, res.noise, res.iters)
+            ws_h = jnp.concatenate([ws_h[1:], res.window_small[None]])
+            st_h = jnp.concatenate([st_h[1:], start[None]])
+            en_h = jnp.concatenate([en_h[1:], end[None]])
+            return (res.model, ws_h, st_h, en_h), (
+                res.u, res.v, res.noise, res.iters
+            )
 
-        noise0 = jnp.zeros((n_total,), bool)
-        (final_model, noise_all), outs = lax.scan(
-            step, (model0, noise0), (xs, ys, ts, idx, lens)
+        carry0 = (
+            model0,
+            jnp.zeros((hist_k,), bool),
+            jnp.zeros((hist_k,), jnp.int32),
+            jnp.full((hist_k,), -1, jnp.int32),
+        )
+        (final_model, *_), outs = lax.scan(
+            step, carry0, (xs, ys, ts, idx, lens, starts, ends)
         )
         return final_model, outs
 
@@ -169,7 +181,7 @@ def compensate_recording_scan_sharded(
             local_scan,
             mesh=mesh,
             in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
-                      P(None, AXIS), P(None), model_spec),
+                      P(None, AXIS), P(None), P(None), P(None), model_spec),
             out_specs=(model_spec, (P(None, AXIS), P(None, AXIS),
                                     P(None, AXIS), P(None))),
             check_vma=False,
@@ -180,7 +192,7 @@ def compensate_recording_scan_sharded(
     t0 = _time.perf_counter()
     final_model, (u, v, noise_s, iters) = fn(
         jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts),
-        jnp.asarray(idx), jnp.asarray(lens), model0,
+        jnp.asarray(idx), jnp.asarray(lens), starts_d, ends_d, model0,
     )
     jax.block_until_ready(final_model)
     run_s = _time.perf_counter() - t0

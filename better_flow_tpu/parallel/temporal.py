@@ -54,7 +54,7 @@ def process_slices_batch(
         nx=P(AX_SLICE, AX_EV), ny=P(AX_SLICE, AX_EV),
         u=P(AX_SLICE, AX_EV), v=P(AX_SLICE, AX_EV),
         noise=P(AX_SLICE, AX_EV),
-        iters=P(AX_SLICE), ran=P(AX_SLICE),
+        iters=P(AX_SLICE), ran=P(AX_SLICE), window_small=P(AX_SLICE),
     )
     fn = jax.jit(
         jax.shard_map(

@@ -19,7 +19,7 @@ import numpy as np
 from better_flow_tpu.core.model import MotionModel
 from better_flow_tpu.runtime.dvs_flow import DVSFlow, SliceRecord
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: MotionModel gained Kahan compensation fields
 _MODEL_FIELDS = list(MotionModel._fields)
 
 

@@ -92,7 +92,8 @@ def plan_slices(t_ns: np.ndarray, cfg: PipelineConfig) -> SlicePlan:
 
 def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
                        spatial_sort: bool = True, band_rows: int = 32,
-                       band_pad: bool = False, res_x: int = 0):
+                       band_pad: bool = False, res_x: int = 0,
+                       indices_only: bool = False):
     """[S, CAP] SoA tensors + per-slice lengths and original indices.
 
     Vectorized gather (one fancy-index per array).  With ``spatial_sort``
@@ -107,7 +108,11 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
     window height and forced the kernel's full-joint fallback (~10x the
     windowed splat cost) for ~20% of chunks.  The returned capacity grows to
     cap + n_bands*CHUNK rounded up; padding slots have idx == -1 (NOT a
-    prefix — consumers must mask on idx >= 0, not arange < len)."""
+    prefix — consumers must mask on idx >= 0, not arange < len).
+
+    ``indices_only`` skips building the xs/ys/ts value slabs (returned as
+    None) — the compact device path reconstructs them by gather from the
+    recording, so only ``idx`` is needed."""
     S = len(plan.ends)
     lens = (plan.ends - plan.starts + 1).astype(np.int32)
     offsets = np.arange(cap, dtype=np.int64)[None, :]
@@ -116,7 +121,7 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
     safe = np.minimum(gidx, len(x) - 1)
     xs = np.where(valid, x[safe], 0).astype(np.float32)
     ys = np.where(valid, y[safe], 0).astype(np.float32)
-    ts = np.where(
+    ts = None if indices_only else np.where(
         valid, t_ns[safe] - plan.slice_start_ns[:, None], 0
     ).astype(np.float32)
     idx = np.where(valid, gidx, -1).astype(np.int32)
@@ -126,7 +131,10 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
         key = np.where(valid, key, np.int64(1) << 40)
         order = np.argsort(key, axis=1, kind="stable")
         take = lambda a: np.take_along_axis(a, order, axis=1)
-        xs, ys, ts, idx = take(xs), take(ys), take(ts), take(idx)
+        if indices_only:
+            xs, idx = take(xs), take(idx)
+        else:
+            xs, ys, ts, idx = take(xs), take(ys), take(ts), take(idx)
         if band_pad:
             from better_flow_tpu.ops.pallas.fused_model import CHUNK
 
@@ -158,67 +166,150 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
                 out[rows, cols] = a[valid_s]
                 return out
 
-            xs, ys, ts = scatter(xs), scatter(ys), scatter(ts)
             idx = scatter(idx, fill=-1)
+            if indices_only:
+                xs = ys = None
+            else:
+                xs, ys, ts = scatter(xs), scatter(ys), scatter(ts)
+    if indices_only:
+        xs = ys = None
     return xs, ys, ts, idx, lens
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "n_total"),
-)
-def _scan_slices(xs, ys, ts, idx, lens, init_model, cfg: PipelineConfig, n_total: int):
-    """One compiled program over all slices."""
+PERM_SENTINEL = np.uint16(0xFFFF)
+
+
+def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
+              cfg: PipelineConfig, hist_k: int):
+    """Shared scan driver over reconstructed slice slabs.
+
+    Noise bookkeeping carries NO per-event global array: the scan path's
+    only noise source is the per-slice degenerate-window gate
+    (optimizer_rolling.h:52-54 — it marks every event of the slice), and
+    slice membership of an event is a contiguous run of slices.  So an
+    event of slice s is noise iff any of the last ``hist_k`` slices fired
+    the gate AND its original index falls in that slice's [start, end]
+    range — three scalar compares per lookback step, instead of a 62k-index
+    gather + scatter on an n_total bool array per step (both are
+    latency-bound on TPU and together cost more than the optimizer)."""
     opt = cfg.optimizer
     sensor = cfg.sensor
     warm = not cfg.stm_disable
 
     def step(carry, inputs):
-        model, noise_all = carry
-        sx, sy, st, sidx, slen = inputs
+        model, ws_h, st_h, en_h = carry
+        sx, sy, st, sidx, start, end = inputs
         # Validity by original index, not prefix: band-padded layouts
         # interleave padding inside the slice (materialize_slices).
         valid = sidx >= 0
-        safe_idx = jnp.where(valid, sidx, n_total)
-        noise = noise_all[jnp.minimum(safe_idx, n_total - 1)] & valid
-        ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise)
+        noise = jnp.zeros_like(valid)
+        for j in range(hist_k):
+            noise |= ws_h[j] & (sidx >= st_h[j]) & (sidx <= en_h[j])
+        ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise & valid)
         # slices were spatially pre-sorted on the host (materialize_slices)
         res = process_slice(ev, model, opt, sensor, warm_start=warm,
                             presorted=True)
-        noise_all = noise_all.at[safe_idx].set(res.noise & valid, mode="drop")
+        ws_h = jnp.concatenate([ws_h[1:], res.window_small[None]])
+        st_h = jnp.concatenate([st_h[1:], start[None]])
+        en_h = jnp.concatenate([en_h[1:], end[None]])
         out = (res.u, res.v, res.noise, res.iters, res.ran)
-        return (res.model, noise_all), out
+        return (res.model, ws_h, st_h, en_h), out
 
-    noise0 = jnp.zeros((n_total,), bool)
-    (final_model, noise_all), outs = lax.scan(
-        step, (init_model, noise0), (xs, ys, ts, idx, lens)
+    carry0 = (
+        init_model,
+        jnp.zeros((hist_k,), bool),
+        jnp.zeros((hist_k,), jnp.int32),
+        jnp.full((hist_k,), -1, jnp.int32),
+    )
+    (final_model, *_), outs = lax.scan(
+        step, carry0, (xs, ys, ts, idx, starts, ends)
     )
     # Scalar checksum over the bulk outputs: fetching it to the host forces
     # true program completion (block_until_ready alone has shown async
     # under-measurement artifacts through the axon relay).
     chk = jnp.sum(outs[0]) + jnp.sum(outs[1])
-    return final_model, noise_all, outs, chk
+    return final_model, outs, chk
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "hist_k"),
+)
+def _scan_slices(xs, ys, ts, idx, starts, ends, init_model,
+                 cfg: PipelineConfig, hist_k: int):
+    """One compiled program over all slices (full f32/i32 slab inputs)."""
+    return _run_scan(xs, ys, ts, idx, starts, ends, init_model, cfg, hist_k)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "hist_k"),
+)
+def _scan_slices_compact(xs16, ys16, ts, perm, starts, ends, init_model,
+                         cfg: PipelineConfig, hist_k: int):
+    """Compact-transfer variant: the coordinate slabs ride as u16 and the
+    original-index slab as a u16 in-slice offset (original index =
+    starts[s] + perm, 0xFFFF = padding) — 10 B/slot instead of 16 across
+    the host->device tunnel (which moves ~1 MB/s at worst; dtype width IS
+    wall-clock there).  Reconstruction is purely elementwise; device-side
+    GATHER alternatives were measured strictly worse (per-step 62k-index
+    gathers: +1.5 ms/slice; one batched [S, CAP] gather up front: +200 ms
+    — TPU gathers from large tables are latency-bound in any shape)."""
+    valid = perm != PERM_SENTINEL
+    sidx = jnp.where(valid, starts[:, None] + perm.astype(jnp.int32), -1)
+    xs = xs16.astype(jnp.float32)
+    ys = ys16.astype(jnp.float32)
+    return _run_scan(xs, ys, ts, sidx, starts, ends, init_model, cfg, hist_k)
 
 
 def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
-    """Host-side preparation: trigger plan + [S, CAP] slice tensors on
-    device.  Reusable across runs of the same recording (bench warmups)."""
+    """Host-side preparation: trigger plan + slice tensors on device.
+    Reusable across runs of the same recording (bench warmups).
+
+    Prefers the compact transfer layout (recording once as u16/u16/u32 +
+    one u16 permutation slab; see _scan_slices_compact) whenever the
+    coordinates are integral u16 and every slice fits a u16 offset —
+    otherwise falls back to shipping full f32/i32 [S, CAP] slabs."""
     x = np.ascontiguousarray(x, np.float32)
     y = np.ascontiguousarray(y, np.float32)
     t_ns = np.ascontiguousarray(t_ns, np.int64)
     t0 = time.perf_counter()
     plan = plan_slices(t_ns, cfg)
+
+    def integral_u16(a):
+        return a.size == 0 or (
+            np.all(a == np.floor(a)) and a.min() >= 0 and a.max() < 0xFFFF
+        )
+
+    compact = integral_u16(x) and integral_u16(y)
     xs, ys, ts, idx, lens = materialize_slices(
         x, y, t_ns, plan, cfg.slice.max_events,
         band_pad=True, res_x=cfg.sensor.res_x,
     )
-    prepared = {
-        "plan": plan,
-        "xs": jnp.asarray(xs), "ys": jnp.asarray(ys), "ts": jnp.asarray(ts),
-        "idx": jnp.asarray(idx), "lens": jnp.asarray(lens),
-        "n": len(x),
-        "plan_s": time.perf_counter() - t0,
-    }
+    compact = compact and (idx.shape[1] < 0xFFFF)
+    # Noise-history depth: the furthest back any slice's events extend
+    # (slice s overlaps slice s' iff ends[s'] >= starts[s]; membership runs
+    # are contiguous).  Static per compiled program.
+    S = len(plan.ends)
+    first_overlap = np.searchsorted(plan.ends, plan.starts)
+    hist_k = max(1, int(np.max(np.arange(S) - first_overlap, initial=1)))
+    prepared = {"plan": plan, "n": len(x), "compact": compact,
+                "idx_host": idx, "hist_k": hist_k,
+                "starts": jnp.asarray(plan.starts.astype(np.int32)),
+                "ends": jnp.asarray(plan.ends.astype(np.int32))}
+    if compact:
+        perm = idx.astype(np.int64) - plan.starts.astype(np.int64)[:, None]
+        perm = np.where(idx >= 0, perm, int(PERM_SENTINEL)).astype(np.uint16)
+        prepared.update(
+            xs16=jnp.asarray(xs.astype(np.uint16)),
+            ys16=jnp.asarray(ys.astype(np.uint16)),
+            ts=jnp.asarray(ts),
+            perm=jnp.asarray(perm),
+        )
+    else:
+        prepared.update(xs=jnp.asarray(xs), ys=jnp.asarray(ys),
+                        ts=jnp.asarray(ts), idx=jnp.asarray(idx))
+    prepared["plan_s"] = time.perf_counter() - t0
     return prepared
 
 
@@ -246,10 +337,18 @@ def compensate_recording_scan(
 
     model0 = init_model or MotionModel.zero()
     t_run0 = time.perf_counter()
-    final_model, noise_all, (u, v, noise_s, iters, ran), chk = _scan_slices(
-        prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
-        prepared["lens"], model0, cfg, n,
-    )
+    if prepared["compact"]:
+        final_model, (u, v, noise_s, iters, ran), chk = _scan_slices_compact(
+            prepared["xs16"], prepared["ys16"], prepared["ts"],
+            prepared["perm"], prepared["starts"], prepared["ends"],
+            model0, cfg, prepared["hist_k"],
+        )
+    else:
+        final_model, (u, v, noise_s, iters, ran), chk = _scan_slices(
+            prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
+            prepared["starts"], prepared["ends"],
+            model0, cfg, prepared["hist_k"],
+        )
     float(np.asarray(chk))  # host fetch: forces true completion (see _scan_slices)
     t_run = time.perf_counter() - t_run0
 
@@ -259,7 +358,7 @@ def compensate_recording_scan(
     u = np.asarray(u)
     v = np.asarray(v)
     noise_s = np.asarray(noise_s)
-    idx_h = np.asarray(prepared["idx"])
+    idx_h = prepared["idx_host"]
     acc_u = np.zeros(n, np.float32)
     acc_v = np.zeros(n, np.float32)
     acc_noise = np.zeros(n, bool)

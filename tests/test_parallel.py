@@ -33,11 +33,15 @@ def test_event_parallel_matches_single_device():
     res_sh = process_slice_event_parallel(ev, MotionModel.zero(), cfg, SMALL, mesh)
     res = process_slice(ev, MotionModel.zero(), cfg, SMALL)
     assert int(res_sh.iters) == int(res.iters)
+    # atol 2e-5: the sharded means reduce in a different order; the
+    # Kahan-compensated totals accumulate that f32 reduction noise over
+    # ~20 iterations (~6e-6 observed) instead of absorbing it in their own
+    # rounding.
     np.testing.assert_allclose(
-        float(res_sh.model.total_dx), float(res.model.total_dx), rtol=1e-4, atol=1e-6
+        float(res_sh.model.total_dx), float(res.model.total_dx), rtol=1e-4, atol=2e-5
     )
     np.testing.assert_allclose(
-        float(res_sh.model.total_dy), float(res.model.total_dy), rtol=1e-4, atol=1e-6
+        float(res_sh.model.total_dy), float(res.model.total_dy), rtol=1e-4, atol=2e-5
     )
     np.testing.assert_allclose(
         np.asarray(res_sh.pr_x), np.asarray(res.pr_x), rtol=1e-4, atol=1e-3

@@ -71,3 +71,49 @@ def test_scan_throughput_counts_all_events():
     out = compensate_recording_scan(d["x"], d["y"], d["t_ns"], small_cfg())
     assert out["stats"]["n_events"] == len(d["x"])
     assert out["stats"]["events_per_s"] > 0
+
+
+def test_noise_persists_across_slices_via_window_gate():
+    """The degenerate-window gate is the scan path's only noise source; the
+    scan carries it as a (window_small, start, end) scalar history instead
+    of a per-event global array, so the reconstruction must match the
+    streaming runtime exactly — including persistence into later slices
+    that still contain the gated events (Event::reset leaves noise set)."""
+    rng = np.random.default_rng(3)
+    # Phase 1: a healthy moving scene; phase 2: all events collapse onto one
+    # pixel (window gate fires); phase 3: healthy again, initially sharing
+    # phase-2 events through the sliding window.
+    def phase(n, t0, gen):
+        t = np.sort(rng.integers(0, int(0.15e9), n)) + t0
+        x, y = gen(n)
+        return x.astype(np.float64), y.astype(np.float64), t
+
+    healthy = lambda n: (rng.integers(0, 24, n), rng.integers(0, 32, n))
+    point = lambda n: (np.full(n, 7), np.full(n, 9))
+    xs, ys, ts = zip(
+        phase(3000, 0, healthy),
+        phase(3000, int(0.15e9), point),
+        phase(3000, int(0.30e9), healthy),
+    )
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    t_ns = np.concatenate(ts).astype(np.int64)
+
+    cfg = small_cfg()
+    scan = compensate_recording_scan(x, y, t_ns, cfg)
+    stream = compensate_recording(x, y, t_ns, cfg)
+    # Some slice must actually have fired the gate for this test to bite,
+    # and some must not have.
+    assert scan["noise"].any() and not scan["noise"].all()
+    # Per-original-event first-slice-wins flags from the streaming runtime
+    # (whose SliceRecords are chronological per slice).
+    plan = plan_slices(t_ns, cfg)
+    records = stream["engine"].slices
+    expected = np.zeros(len(x), bool)
+    seen = np.zeros(len(x), bool)
+    for s, rec in enumerate(records):
+        rng_idx = np.arange(plan.starts[s], plan.ends[s] + 1)
+        fresh = ~seen[rng_idx]
+        expected[rng_idx[fresh]] = np.asarray(rec.noise)[fresh]
+        seen[rng_idx] = True
+    np.testing.assert_array_equal(scan["noise"], expected)
