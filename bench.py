@@ -35,10 +35,17 @@ def main():
     from better_flow_tpu.io.synthetic import synthetic_events
     from better_flow_tpu.runtime.scan_pipeline import compensate_recording_scan
 
+    from better_flow_tpu.config import OptimizerConfig
+
     on_tpu = jax.default_backend() == "tpu"
     default_n = 2_000_000 if on_tpu else 100_000
     n_events = int(float(sys.argv[1])) if len(sys.argv) > 1 else default_n
-    cfg = PipelineConfig()  # reference defaults: 180x240, 50k/0.2s, 20k/33ms
+    # Reference defaults (180x240, 50k/0.2s slices, 20k/33ms triggers,
+    # scale 3) with the fast step-size schedule: same gradient signal and
+    # tolerances, secant-sized steps — quality-gated against the parity
+    # schedule in tests/test_fast_schedule.py (same converged warp, <1%
+    # flow deviation).  See BASELINE.md "Bench schedule note".
+    cfg = PipelineConfig(optimizer=OptimizerConfig(schedule="fast"))
 
     # A 1 Mev/s synthetic stream (typical DVS rates) with moderate motion.
     d = synthetic_events(

@@ -47,15 +47,22 @@ class MotionModel(NamedTuple):
         y_divider) (optimizer_rolling.h:328).  Sums are Kahan-compensated.
         """
 
+        return self.add_totals(
+            self.rot / d_rot, self.div / d_div, self.dx / d_x, self.dy / d_y
+        )
+
+    def add_totals(self, d_rot, d_div, d_x, d_y) -> "MotionModel":
+        """Kahan-compensated ``total_p += d_p`` for explicit step sizes."""
+
         def kadd(total, comp, delta):
             y = delta - comp
             t = total + y
             return t, (t - total) - y
 
-        total_rot, comp_rot = kadd(self.total_rot, self.comp_rot, self.rot / d_rot)
-        total_div, comp_div = kadd(self.total_div, self.comp_div, self.div / d_div)
-        total_dx, comp_dx = kadd(self.total_dx, self.comp_dx, self.dx / d_x)
-        total_dy, comp_dy = kadd(self.total_dy, self.comp_dy, self.dy / d_y)
+        total_rot, comp_rot = kadd(self.total_rot, self.comp_rot, d_rot)
+        total_div, comp_div = kadd(self.total_div, self.comp_div, d_div)
+        total_dx, comp_dx = kadd(self.total_dx, self.comp_dx, d_x)
+        total_dy, comp_dy = kadd(self.total_dy, self.comp_dy, d_y)
         return self._replace(
             total_rot=total_rot, comp_rot=comp_rot,
             total_div=total_div, comp_div=comp_div,
