@@ -38,19 +38,32 @@ def main():
     from better_flow_tpu.config import OptimizerConfig
 
     on_tpu = jax.default_backend() == "tpu"
-    default_n = 2_000_000 if on_tpu else 100_000
+    # 6M requested (~4M after generator dedupe): program dispatch + result
+    # fetch through the axon relay costs a measured ~26 ms per jit call
+    # regardless of work, so short recordings understate sustained
+    # throughput (at 2M it is ~16% of run_s).
+    default_n = 6_000_000 if on_tpu else 100_000
     n_events = int(float(sys.argv[1])) if len(sys.argv) > 1 else default_n
     # Reference defaults (180x240, 50k/0.2s slices, 20k/33ms triggers,
-    # scale 3) with the fast step-size schedule: same gradient signal and
-    # tolerances, secant-sized steps — quality-gated against the parity
-    # schedule in tests/test_fast_schedule.py (same converged warp, <1%
-    # flow deviation).  See BASELINE.md "Bench schedule note".
-    cfg = PipelineConfig(optimizer=OptimizerConfig(schedule="fast"))
+    # scale 3) with the fast optimizer preset (secant schedule, relaxed
+    # tolerances) — quality-gated against the parity schedule in
+    # tests/test_fast_schedule.py (same converged warp, <1% flow
+    # deviation, equal-or-better AEE vs ground truth).  See BASELINE.md
+    # "Bench schedule note".
+    cfg = PipelineConfig(optimizer=OptimizerConfig.fast())
 
     # A 1 Mev/s synthetic stream (typical DVS rates) with moderate motion.
-    d = synthetic_events(
-        n_events,
-        duration_s=n_events / 1_000_000,
+    # Long streams are built by tiling a ~1.3s base segment in time (the
+    # scene's 60 px/s drift exits the 180 px frame beyond ~2 s, which would
+    # silently collapse the density); motion is continuous within segments,
+    # with a scene jump at each boundary — like a recording of repeated
+    # sweeps.
+    seg_events = min(n_events, 2_000_000)
+    seg_dur = seg_events / 1_000_000
+    n_segments = max(1, round(n_events / seg_events))
+    base = synthetic_events(
+        seg_events,
+        duration_s=seg_dur,
         res_x=cfg.sensor.res_x,
         res_y=cfg.sensor.res_y,
         vx=60.0,
@@ -60,6 +73,17 @@ def main():
         n_points=800,
         seed=42,
     )
+    if n_segments > 1:
+        step_ns = int(seg_dur * 1e9)
+        d = {
+            "x": np.tile(base["x"], n_segments),
+            "y": np.tile(base["y"], n_segments),
+            "t_ns": np.concatenate(
+                [base["t_ns"] + k * step_ns for k in range(n_segments)]
+            ),
+        }
+    else:
+        d = base
     n_real = len(d["x"])
 
     # Warmup at identical shapes: the scan program is static over

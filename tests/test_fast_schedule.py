@@ -34,7 +34,7 @@ def test_fast_matches_reference_production_sensor():
                          vx=60.0, vy=-40.0, rot=0.12, div=0.05,
                          n_points=800, seed=42)  # 1 Mev/s: bench density
     cfg_ref = PipelineConfig(optimizer=OptimizerConfig(schedule="reference"))
-    cfg_fast = PipelineConfig(optimizer=OptimizerConfig(schedule="fast"))
+    cfg_fast = PipelineConfig(optimizer=OptimizerConfig.fast())  # bench cfg
     ref = compensate_recording_scan(d["x"], d["y"], d["t_ns"], cfg_ref)
     fast = compensate_recording_scan(d["x"], d["y"], d["t_ns"], cfg_fast)
     ok = ~(ref["noise"] | fast["noise"])
@@ -44,8 +44,14 @@ def test_fast_matches_reference_production_sensor():
     # Same converged warp: sub-percent flow deviation...
     assert np.median(du) < 0.01 * speed, (np.median(du), speed)
     assert np.median(dv) < 0.01 * speed
+    # ...at no accuracy cost vs ground truth...
+    def aee_med(out):
+        m = ~out["noise"]
+        return float(np.median(
+            np.hypot(out["u"][m] - d["u"][m], out["v"][m] - d["v"][m])))
+    assert aee_med(fast) <= 1.02 * aee_med(ref), (aee_med(fast), aee_med(ref))
     # ...in materially fewer iterations.
-    assert fast["iters"].sum() <= 0.85 * ref["iters"].sum(), (
+    assert fast["iters"].sum() <= 0.7 * ref["iters"].sum(), (
         int(fast["iters"].sum()), int(ref["iters"].sum()))
 
 
