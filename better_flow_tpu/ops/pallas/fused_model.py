@@ -477,7 +477,9 @@ def fused_warp_splat(
 # (large accumulated warps) fall back to the full-height joint under
 # @pl.when, preserving exactness for any motion.
 
-RH = 192   # window rows (multiple of 8)
+RH = 128   # window rows (multiple of 8; must hold a 32-row band at scale 3
+           # plus footprint and differential warp — spread beyond it takes
+           # the exact full-joint fallback, so smaller is pure perf trade)
 WC = 256   # window cols (multiple of 128)
 
 
