@@ -375,7 +375,8 @@ class FusedFlowState(NamedTuple):
     iters: jnp.ndarray
 
 
-def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W):
+def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
+               stat3=None):
     """Production TPU path: one pallas_call per iteration (in-kernel 4-param
     re-warp + windowed MXU splat + finish), scalar model math between calls.
 
@@ -391,16 +392,22 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W):
     Returns (model, pr_x, pr_y, nx, ny, iters)."""
     from better_flow_tpu.ops.pallas.fused_model import (
         fused_warp_splat,
+        pack_act,
         prepare_chunk_layouts,
     )
     from better_flow_tpu.ops.reductions import model_from_partials
 
-    stat = prepare_chunk_layouts(ev.x, ev.y, ev.t, ev.active)
+    # The (n_chunks, 3, CHUNK) static pack is loop-invariant; slice scans
+    # build it ONCE for all slices and pass it in (stat3), leaving only the
+    # per-slice activity row to pack here.
+    stat = stat3 if stat3 is not None else prepare_chunk_layouts(
+        ev.x, ev.y, ev.t)
+    act = pack_act(ev.active)
 
     def step(s: FusedFlowState, update_fn=None) -> FusedFlowState:
         m = s.model
         pr, p = fused_warp_splat(
-            stat, s.pr, scale,
+            stat, act, s.pr, scale,
             geom.x_shift, geom.y_shift, geom.w_dyn, geom.h_dyn,
             -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
             H, W,
@@ -449,6 +456,7 @@ def process_slice(
     warm_start: bool = True,
     axis_name=None,
     presorted: bool = False,
+    stat3=None,
 ) -> SliceResult:
     """Process one slice end to end — jit over static (capacity, scale, res).
 
@@ -506,7 +514,8 @@ def process_slice(
 
         final_model, pr_x, pr_y, nx, ny, iters = lax.cond(
             ran,
-            lambda _: _run_fused(ev, geom, model, cfg, scale, H, W),
+            lambda _: _run_fused(ev, geom, model, cfg, scale, H, W,
+                                 stat3=stat3 if presorted else None),
             _skip,
             0,
         )

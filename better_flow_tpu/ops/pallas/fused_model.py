@@ -326,13 +326,15 @@ def _warp_chunk(frx, fry, t_ns, prx_p, pry_p,
 
 
 def _kernel_warp_windowed(
-    scal_ref, stat_ref, pr_ref, npr_ref, out_ref,
+    scal_ref, stat_ref, act_ref, pr_ref, npr_ref, out_ref,
     acc_t, acc_c, *, scale: int, HP: int, WP: int, H: int, W: int,
 ):
-    """Per chunk: unpack the (4, CHUNK) static block [fr_x, fr_y, t_ns,
-    active] and the (2, CHUNK) position carry [pr_x, pr_y]; warp; write the
-    new positions; transpose the warped column indices to (CHUNK, 1) for the
-    col one-hot (Mosaic supports the (1, C) -> (C, 1) transpose); splat."""
+    """Per chunk: unpack the (3, CHUNK) static block [fr_x, fr_y, t_ns]
+    plus the (1, CHUNK) activity row (separate because noise flags change
+    per slice while the static pack is built once per scan) and the
+    (2, CHUNK) position carry [pr_x, pr_y]; warp; write the new positions;
+    transpose the warped column indices to (CHUNK, 1) for the col one-hot
+    (Mosaic supports the (1, C) -> (C, 1) transpose); splat."""
     pid = pl.program_id(0)
     n_prog = pl.num_programs(0)
     half = scale // 2
@@ -354,11 +356,11 @@ def _kernel_warp_windowed(
     cosv = scal_ref[0, 9]
     sinv = scal_ref[0, 10]
 
-    stat = stat_ref[0]          # (4, CHUNK)
+    stat = stat_ref[0]          # (3, CHUNK)
     frx = stat[0:1]
     fry = stat[1:2]
     t_ns = stat[2:3]
-    act = stat[3:4]
+    act = act_ref[0]            # (1, CHUNK)
     prb = pr_ref[0]             # (2, CHUNK)
 
     prx, pry = _warp_chunk(
@@ -388,11 +390,12 @@ def _kernel_warp_windowed(
         _finish_phase(acc_t, acc_c, out_ref, scale, HP, WP, H, W)
 
 
-def prepare_chunk_layouts(x, y, t_ns, active):
+def prepare_chunk_layouts(x, y, t_ns):
     """Pack the loop-invariant event data into the fused kernel's chunked
-    layout, once per slice: (n_chunks, 4, CHUNK) with rows [fr_x, fr_y,
-    t_ns, active].  Times stay in f32 nanoseconds (the warp's unit; the
-    kernel derives seconds for the splat weights itself)."""
+    layout: (n_chunks, 3, CHUNK) with rows [fr_x, fr_y, t_ns].  Times stay
+    in f32 nanoseconds (the warp's unit; the kernel derives seconds for
+    the splat weights itself).  The activity row rides separately
+    (pack_act) because it changes per slice."""
     n = x.shape[0]
     n_pad = _round_up(max(n, CHUNK), CHUNK)
 
@@ -401,22 +404,29 @@ def prepare_chunk_layouts(x, y, t_ns, active):
             n_pad // CHUNK, 1, CHUNK
         )
 
-    return jnp.concatenate(
-        [pad(x), pad(y), pad(t_ns), pad(active.astype(jnp.float32))], axis=1
+    return jnp.concatenate([pad(x), pad(y), pad(t_ns)], axis=1)
+
+
+def pack_act(active):
+    """(n_chunks, 1, CHUNK) activity row for fused_warp_splat."""
+    n = active.shape[0]
+    n_pad = _round_up(max(n, CHUNK), CHUNK)
+    return jnp.pad(active.astype(jnp.float32), (0, n_pad - n)).reshape(
+        n_pad // CHUNK, 1, CHUNK
     )
 
 
 def fused_warp_splat(
-    stat, pr, scale: int,
+    stat, act, pr, scale: int,
     x_sh, y_sh, w_dyn, h_dyn, dnx_, dny_, cx, cy, divp, crl,
     H: int, W: int,
 ):
     """One optimizer iteration's event phase: re-warp every event with the
     accumulated model (about event-coordinate centroid (cx, cy)) and splat
-    the warped positions.  ``stat`` is prepare_chunk_layouts' static pack;
-    ``pr`` is the (n_chunks, 2, CHUNK) position carry.  Returns (new_pr,
-    partials).  cos/sin of the rotation are taken on ``crl`` exactly as
-    ops/warp._divcrl_dn does."""
+    the warped positions.  ``stat`` is prepare_chunk_layouts' static pack,
+    ``act`` is pack_act's activity row; ``pr`` is the (n_chunks, 2, CHUNK)
+    position carry.  Returns (new_pr, partials).  cos/sin of the rotation
+    are taken on ``crl`` exactly as ops/warp._divcrl_dn does."""
     HP = _round_up(max(H + 8, RH), 32)   # 32: int8 MXU tile rows
     WP = _round_up(max(W + 8, WC), 128)
     n_chunks = stat.shape[0]
@@ -435,7 +445,9 @@ def fused_warp_splat(
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4, CHUNK), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -456,7 +468,7 @@ def fused_warp_splat(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(scal, stat, pr)
+    )(scal, stat, act, pr)
     partials = {
         "cnt": out[0, 0],
         "s_row": out[0, 1],

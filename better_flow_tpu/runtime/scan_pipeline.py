@@ -196,9 +196,26 @@ def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
     sensor = cfg.sensor
     warm = not cfg.stm_disable
 
+    # Build the fused kernel's loop-invariant (n_chunks, 3, CHUNK) pack for
+    # ALL slices in one op — instead of padding/reshaping/concatenating
+    # inside every scan step (measured ~115 us/slice of XLA glue).  Only
+    # possible when the padded capacity is a CHUNK multiple (band_pad
+    # guarantees it; the generic fallback packs per step).
+    from better_flow_tpu.ops.pallas.fused_model import CHUNK
+
+    S, capp = xs.shape
+    if capp % CHUNK == 0:
+        nch = capp // CHUNK
+        stat3_all = jnp.concatenate(
+            [a.reshape(S, nch, 1, CHUNK) for a in (xs, ys, ts)], axis=2
+        )
+    else:
+        stat3_all = None
+
     def step(carry, inputs):
         model, ws_h, st_h, en_h = carry
-        sx, sy, st, sidx, start, end = inputs
+        sx, sy, st, sidx, start, end = inputs[:6]
+        stat3 = inputs[6] if len(inputs) > 6 else None
         # Validity by original index, not prefix: band-padded layouts
         # interleave padding inside the slice (materialize_slices).
         valid = sidx >= 0
@@ -208,7 +225,7 @@ def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
         ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise & valid)
         # slices were spatially pre-sorted on the host (materialize_slices)
         res = process_slice(ev, model, opt, sensor, warm_start=warm,
-                            presorted=True)
+                            presorted=True, stat3=stat3)
         ws_h = jnp.concatenate([ws_h[1:], res.window_small[None]])
         st_h = jnp.concatenate([st_h[1:], start[None]])
         en_h = jnp.concatenate([en_h[1:], end[None]])
@@ -221,9 +238,10 @@ def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
         jnp.zeros((hist_k,), jnp.int32),
         jnp.full((hist_k,), -1, jnp.int32),
     )
-    (final_model, *_), outs = lax.scan(
-        step, carry0, (xs, ys, ts, idx, starts, ends)
-    )
+    scan_inputs = (xs, ys, ts, idx, starts, ends)
+    if stat3_all is not None:
+        scan_inputs = scan_inputs + (stat3_all,)
+    (final_model, *_), outs = lax.scan(step, carry0, scan_inputs)
     # Scalar checksum over the bulk outputs: fetching it to the host forces
     # true program completion (block_until_ready alone has shown async
     # under-measurement artifacts through the axon relay).
