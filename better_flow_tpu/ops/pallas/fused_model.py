@@ -327,7 +327,7 @@ def _warp_chunk(frx, fry, t_ns, prx_p, pry_p,
 
 def _kernel_warp_windowed(
     scal_ref, stat_ref, act_ref, pr_ref, npr_ref, out_ref,
-    acc_t, acc_c, *, scale: int, HP: int, WP: int, H: int, W: int,
+    acc_t, acc_c, fb, *, scale: int, HP: int, WP: int, H: int, W: int,
 ):
     """Per chunk: unpack the (3, CHUNK) static block [fr_x, fr_y, t_ns]
     plus the (1, CHUNK) activity row (separate because noise flags change
@@ -343,6 +343,7 @@ def _kernel_warp_windowed(
     def _init():
         acc_t[:, :] = jnp.zeros((HP, WP), jnp.float32)
         acc_c[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        fb[0, 0] = jnp.float32(0)
 
     x_sh = scal_ref[0, 0]
     y_sh = scal_ref[0, 1]
@@ -383,11 +384,12 @@ def _kernel_warp_windowed(
     col = jnp.transpose(jnp.where(ok, iy, -1))   # (CHUNK, 1)
 
     t_sec = t_ns / jnp.float32(1e9)
-    _windowed_splat(acc_t, acc_c, row, col, t_sec, HP, WP)
+    _windowed_splat(acc_t, acc_c, row, col, t_sec, HP, WP, fb=fb)
 
     @pl.when(pid == n_prog - 1)
     def _finish():
         _finish_phase(acc_t, acc_c, out_ref, scale, HP, WP, H, W)
+        out_ref[0, 7] = fb[0, 0]
 
 
 def prepare_chunk_layouts(x, y, t_ns):
@@ -464,6 +466,7 @@ def fused_warp_splat(
         scratch_shapes=[
             pltpu.VMEM((HP, WP), jnp.float32),
             pltpu.VMEM((HP, WP), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -477,6 +480,7 @@ def fused_warp_splat(
         "s_gy": out[0, 4],
         "s_rg": out[0, 5],
         "s_dg": out[0, 6],
+        "fallback_chunks": out[0, 7],
     }
     return npr, partials
 
@@ -497,19 +501,20 @@ WC = 256   # window cols (multiple of 128)
 
 def _splat_window(acc_t, acc_c, row, col, ok, t0, w_hi, w_lo, r_lo, c_lo,
                   rh: int, wc: int, HP: int, WP: int):
-    """One chunk's one-hot contribution into acc[r_lo:+rh, c_lo:+wc]: an int8
-    MXU pass for the exact counts (2x bf16 rate on v5e) + two bf16 passes for
-    the hi/lo time weights."""
-    rows_i = lax.broadcasted_iota(jnp.int32, (rh, row.shape[1]), 0) + r_lo
-    cols_i = lax.broadcasted_iota(jnp.int32, (col.shape[0], wc), 1) + c_lo
-    hit_r = rows_i == row
-    hit_c = cols_i == col
+    """One chunk's one-hot contribution into acc[r_lo:+rh, c_lo:+wc]: three
+    bf16 MXU passes (counts + hi/lo time weights).  The kernel is VPU-bound
+    (one-hot construction), not MXU-bound, so the counts ride the SAME bf16
+    one-hots as the time weights — still exact, since 0/1 products accumulate
+    in f32 — rather than a separate int8 pair (saves two full-matrix casts).
+    The window offsets fold into the small per-event index vectors, not the
+    (rh, C)/(C, wc) iota matrices."""
+    rows_i = lax.broadcasted_iota(jnp.int32, (rh, row.shape[1]), 0)
+    cols_i = lax.broadcasted_iota(jnp.int32, (col.shape[0], wc), 1)
+    hit_r = rows_i == row - r_lo   # rejected events carry row == -1 < r_lo
+    hit_c = cols_i == col - c_lo
     oh_r = hit_r.astype(jnp.bfloat16)
     oh_c = hit_c.astype(jnp.bfloat16)
-    contrib_c = jnp.dot(
-        hit_r.astype(jnp.int8), hit_c.astype(jnp.int8),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
+    contrib_c = jnp.dot(oh_r, oh_c, preferred_element_type=jnp.float32)
     contrib_t = (
         t0 * contrib_c
         + jnp.dot(oh_r * w_hi, oh_c, preferred_element_type=jnp.float32)
@@ -523,13 +528,15 @@ def _splat_window(acc_t, acc_c, row, col, ok, t0, w_hi, w_lo, r_lo, c_lo,
         acc_c[pl.ds(r_lo, rh), pl.ds(c_lo, wc)] += contrib_c
 
 
-def _windowed_splat(acc_t, acc_c, row, col, t_sec, HP: int, WP: int):
+def _windowed_splat(acc_t, acc_c, row, col, t_sec, HP: int, WP: int,
+                    fb=None):
     """Shared window-placement + splat: picks an aligned (RH, WC) window from
     the chunk's accepted extent, falls back to the full joint on escape, and
     skips entirely when the chunk has no accepted events (padding tails).
 
     ``row`` (1, C) / ``col`` (C, 1) hold scaled image indices with -1 for
-    rejected events."""
+    rejected events.  ``fb`` (optional (1, 1) SMEM scratch) counts chunks
+    that took the full-joint fallback — the first-order cost driver."""
     big = jnp.int32(1 << 20)
     r_min = jnp.min(jnp.where(row >= 0, row, big))
     c_min = jnp.min(jnp.where(col >= 0, col, big))
@@ -554,6 +561,8 @@ def _windowed_splat(acc_t, acc_c, row, col, t_sec, HP: int, WP: int):
 
     @pl.when(~fits & nonempty)
     def _full():
+        if fb is not None:
+            fb[0, 0] += jnp.float32(1)
         _splat_window(acc_t, acc_c, row, col, None, t0, w_hi, w_lo,
                       0, 0, HP, WP, HP, WP)
 
