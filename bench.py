@@ -106,6 +106,10 @@ def main():
     st["compile_s"] = round(warm["stats"]["run_s"] - st["run_s"], 3)
 
     value = st["events_per_s"]
+    # Cold = host staging (plan+materialize+transfer) + device run: what a
+    # fresh recording sees end to end (the reference's wall clock has no
+    # such split, bf_motion_compensator.cpp:154-178).
+    cold = st["n_events"] / (st["plan_s"] + st["run_s"])
     print(
         json.dumps(
             {
@@ -118,6 +122,7 @@ def main():
                     "n_slices": st["n_slices"],
                     "run_s": round(st["run_s"], 4),
                     "plan_s": round(st["plan_s"], 4),
+                    "cold_events_per_s": round(cold, 1),
                     "mean_iters": round(st["mean_iters"], 2),
                     "device": str(jax.devices()[0]),
                 },

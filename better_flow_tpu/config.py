@@ -109,7 +109,7 @@ class OptimizerConfig:
     # per parameter).  "fast" keeps the same per-iteration gradient signal
     # and the same convergence tolerances but sizes each step with a
     # safeguarded per-parameter secant (Newton on the gradient root,
-    # clamped to 8x the reference step, reference fallback when the local
+    # clamped to 4x the reference step, reference fallback when the local
     # slope isn't concave) — typically 2-3x fewer iterations for the same
     # converged warp.  Accuracy-gated against the reference schedule in
     # tests/test_fast_schedule.py.

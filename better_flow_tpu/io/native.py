@@ -27,24 +27,43 @@ class _EventArrays(ctypes.Structure):
     ]
 
 
+def _build(root: pathlib.Path) -> bool:
+    try:
+        import sys
+
+        sys.path.insert(0, str(root / "native"))
+        from build import build  # type: ignore
+
+        build()
+        return True
+    except Exception:
+        return False
+    finally:
+        sys.path.pop(0)
+
+
 def _find_or_build() -> Optional[ctypes.CDLL]:
     root = pathlib.Path(__file__).resolve().parents[2]
     so = root / "native" / "libbf_native.so"
-    if not so.exists():
-        try:
-            import sys
-
-            sys.path.insert(0, str(root / "native"))
-            from build import build  # type: ignore
-
-            build()
-        except Exception:
-            return None
-        finally:
-            sys.path.pop(0)
+    if not so.exists() and not _build(root):
+        return None
     if not so.exists():
         return None
     lib = ctypes.CDLL(str(so))
+    if not hasattr(lib, "bf_materialize_bandpad"):
+        # stale library from an older build: rebuild, then load under a
+        # unique path (dlopen caches by path within a process)
+        if not _build(root):
+            return None
+        import shutil
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile(suffix=".so", delete=False)
+        tmp.close()
+        shutil.copy(so, tmp.name)
+        lib = ctypes.CDLL(tmp.name)
+        if not hasattr(lib, "bf_materialize_bandpad"):
+            return None
     lib.bf_parse_events.restype = ctypes.c_int64
     lib.bf_parse_events.argtypes = [ctypes.c_char_p, ctypes.POINTER(_EventArrays)]
     lib.bf_free_events.argtypes = [ctypes.POINTER(_EventArrays)]
@@ -58,7 +77,64 @@ def _find_or_build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
     ]
+    lib.bf_materialize_bandpad.restype = ctypes.c_int64
+    lib.bf_materialize_bandpad.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,  # S
+        ctypes.c_int64,  # capp
+        ctypes.c_int64,  # band_rows
+        ctypes.c_int64,  # chunk
+        ctypes.c_int64,  # n_bands
+        ctypes.c_int64,  # res_y
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
     return lib
+
+
+def materialize_bandpad(x, y, t_ns, starts, ends, slice_start_ns,
+                        capp: int, band_rows: int, chunk: int,
+                        n_bands: int, res_y: int):
+    """Native band-padded compact slice materialization (the layout of
+    runtime/scan_pipeline.materialize_slices(band_pad=True) + u16 compact
+    encoding).  Returns (xs16, ys16, ts, perm) or None if the native
+    library is unavailable or a slice exceeds ``capp``."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    t_ns = np.ascontiguousarray(t_ns, np.int64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    slice_start_ns = np.ascontiguousarray(slice_start_ns, np.int64)
+    S = len(starts)
+    xs16 = np.empty((S, capp), np.uint16)
+    ys16 = np.empty((S, capp), np.uint16)
+    ts = np.empty((S, capp), np.float32)
+    perm = np.empty((S, capp), np.uint16)
+
+    def p(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    rc = lib.bf_materialize_bandpad(
+        p(x, ctypes.c_float), p(y, ctypes.c_float), p(t_ns, ctypes.c_int64),
+        p(starts, ctypes.c_int64), p(ends, ctypes.c_int64),
+        p(slice_start_ns, ctypes.c_int64),
+        S, capp, band_rows, chunk, n_bands, res_y,
+        p(xs16, ctypes.c_uint16), p(ys16, ctypes.c_uint16),
+        p(ts, ctypes.c_float), p(perm, ctypes.c_uint16),
+    )
+    if rc != 0:
+        return None
+    return xs16, ys16, ts, perm
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

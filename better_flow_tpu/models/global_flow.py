@@ -140,9 +140,9 @@ def _iteration_step(
         )
         from better_flow_tpu.ops.reductions import model_from_partials
 
-        # (Under event-parallel shard_map the image must be psum'd BEFORE
-        # the nonlinear normalize/Scharr, so the sharded path uses the jnp
-        # branch below with its pre-filter psum.)
+        # (This composed step is only reached when process_slice routed away
+        # from the fused path; the event-parallel pallas path lives in
+        # _run_fused, split at the psum seam.)
         p = fused_model_partials_windowed(
             state.pr_x, state.pr_y, ev.t, ev.active, scale,
             geom.x_shift, geom.y_shift, geom.w_dyn, geom.h_dyn, H, W,
@@ -269,7 +269,7 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig):
     the root of the gradient component g(total), using the slope observed
     between the last two iterates.  Falls back to the reference step
     g/divider (with its sign-flip divider doubling) whenever the local
-    slope is not concave or the secant is degenerate, and clamps to 8x the
+    slope is not concave or the secant is degenerate, and clamps to 4x the
     reference step so a noisy slope can never fling the warp.  Converges in
     roughly 1/3 the iterations of the divider bisection on typical scenes.
 
@@ -376,9 +376,16 @@ class FusedFlowState(NamedTuple):
 
 
 def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
-               stat3=None):
+               stat3=None, axis_name=None):
     """Production TPU path: one pallas_call per iteration (in-kernel 4-param
     re-warp + windowed MXU splat + finish), scalar model math between calls.
+
+    With ``axis_name`` (event-parallel shard_map) the iteration splits at
+    the psum seam: the shard-local kernel emits pre-filter (sum-t, count)
+    images, one ``psum`` over the event axis combines them (linear, riding
+    ICI), and a second kernel runs box+normalize+Scharr+partials on the
+    summed images — replicated per shard, so the model and all convergence
+    decisions stay identical on every device with no further collectives.
 
     Structure vs the reference (optimizer_rolling.h:305-347): the iteration
     boundary shifts so the re-warp that ENDS reference-iteration k runs at
@@ -391,7 +398,9 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
 
     Returns (model, pr_x, pr_y, nx, ny, iters)."""
     from better_flow_tpu.ops.pallas.fused_model import (
+        finish_partials,
         fused_warp_splat,
+        fused_warp_splat_images,
         pack_act,
         prepare_chunk_layouts,
     )
@@ -406,12 +415,19 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
 
     def step(s: FusedFlowState, update_fn=None) -> FusedFlowState:
         m = s.model
-        pr, p = fused_warp_splat(
+        args = (
             stat, act, s.pr, scale,
             geom.x_shift, geom.y_shift, geom.w_dyn, geom.h_dyn,
             -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
             H, W,
         )
+        if axis_name is None:
+            pr, p = fused_warp_splat(*args)
+        else:
+            pr, acc_t, acc_c, _fb = fused_warp_splat_images(*args)
+            acc_t = lax.psum(acc_t, axis_name)
+            acc_c = lax.psum(acc_c, axis_name)
+            p = finish_partials(acc_t, acc_c, scale, H, W)
         cx_img, cy_img, terms = model_from_partials(p)
         model = m._replace(
             cx=cx_img, cy=cy_img, dx=terms.dx, dy=terms.dy,
@@ -500,10 +516,11 @@ def process_slice(
     too_few = n_events < cfg.min_events  # optimizer_rolling.h:57
     ran = ~geom.window_small & ~too_few
 
-    if mode == "pallas" and axis_name is None:
-        # Fused production path (one pallas_call per iteration).  The
-        # not-ran branch applies only the warm-start warp (set_model), which
-        # is what the composed path's init state holds.
+    if mode == "pallas":
+        # Fused production path (one pallas_call per iteration; under
+        # event-parallel shard_map it splits at the psum seam — see
+        # _run_fused).  The not-ran branch applies only the warm-start warp
+        # (set_model), which is what the composed path's init state holds.
         def _skip(_):
             pr_x, pr_y, nx, ny = project_4param_reinit(
                 ev.x, ev.y, ev.t, ev.x, ev.y,
@@ -515,7 +532,8 @@ def process_slice(
         final_model, pr_x, pr_y, nx, ny, iters = lax.cond(
             ran,
             lambda _: _run_fused(ev, geom, model, cfg, scale, H, W,
-                                 stat3=stat3 if presorted else None),
+                                 stat3=stat3 if presorted else None,
+                                 axis_name=axis_name),
             _skip,
             0,
         )

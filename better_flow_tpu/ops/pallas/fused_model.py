@@ -50,6 +50,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _interp() -> bool:
+    """Resolve pallas interpretation at trace time: off-TPU backends run the
+    kernels through the generic interpreter, which (unlike
+    force_tpu_interpret_mode's callback path) composes with shard_map on the
+    virtual CPU mesh without deadlocking — that is what lets the sharded
+    pallas path be CI-tested on 8 virtual devices."""
+    return jax.default_backend() != "tpu"
+
+
 def _roll(a, shift: int, axis: int):
     """pltpu.roll with negative shifts (circular; wraps handled by the
     caller's validity masking)."""
@@ -280,6 +289,7 @@ def fused_model_partials(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=_interp(),
     )(scal, prx_r, pry_r, t_r, act_r, prx_c, pry_c, act_c)
 
     return {
@@ -328,6 +338,7 @@ def _warp_chunk(frx, fry, t_ns, prx_p, pry_p,
 def _kernel_warp_windowed(
     scal_ref, stat_ref, act_ref, pr_ref, npr_ref, out_ref,
     acc_t, acc_c, fb, *, scale: int, HP: int, WP: int, H: int, W: int,
+    probe_skip_finish: bool = False,
 ):
     """Per chunk: unpack the (3, CHUNK) static block [fr_x, fr_y, t_ns]
     plus the (1, CHUNK) activity row (separate because noise flags change
@@ -386,10 +397,179 @@ def _kernel_warp_windowed(
     t_sec = t_ns / jnp.float32(1e9)
     _windowed_splat(acc_t, acc_c, row, col, t_sec, HP, WP, fb=fb)
 
-    @pl.when(pid == n_prog - 1)
-    def _finish():
-        _finish_phase(acc_t, acc_c, out_ref, scale, HP, WP, H, W)
-        out_ref[0, 7] = fb[0, 0]
+    if probe_skip_finish:   # perf-dissection probe: splat grid only
+        @pl.when(pid == n_prog - 1)
+        def _finish_stub():
+            out_ref[:, :] = jnp.zeros((1, 8), jnp.float32)
+    else:
+        @pl.when(pid == n_prog - 1)
+        def _finish():
+            _finish_phase(acc_t, acc_c, out_ref, scale, HP, WP, H, W)
+            out_ref[0, 7] = fb[0, 0]
+
+
+def _kernel_warp_images(
+    scal_ref, stat_ref, act_ref, pr_ref, npr_ref, acc_t, acc_c, fb_ref,
+    *, scale: int, HP: int, WP: int,
+):
+    """Shard-local half of the fused iteration (the psum seam): identical
+    warp + windowed splat to _kernel_warp_windowed, but the pre-filter
+    (acc_t, acc_c) images are pallas OUTPUTS instead of feeding the finish
+    phase in-kernel.  Under event-parallel shard_map the caller psums the
+    images across shards BEFORE the nonlinear normalize/Scharr (the exact
+    seam the XLA path uses: ops/time_image with axis_name), then runs
+    _kernel_finish on the summed images.  The one-hot MXU splat — the reason
+    the sharded path previously had to fall back to XLA's serializing
+    scatter (gpu_impl.cl:24-53 lesson) — is preserved per shard."""
+    pid = pl.program_id(0)
+    half = scale // 2
+
+    @pl.when(pid == 0)
+    def _init():
+        acc_t[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        acc_c[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        fb_ref[0, 0] = jnp.float32(0)
+
+    x_sh = scal_ref[0, 0]
+    y_sh = scal_ref[0, 1]
+    wd = scal_ref[0, 2]
+    hd = scal_ref[0, 3]
+    dnx_ = scal_ref[0, 4]
+    dny_ = scal_ref[0, 5]
+    cx = scal_ref[0, 6]
+    cy = scal_ref[0, 7]
+    divp = scal_ref[0, 8]
+    cosv = scal_ref[0, 9]
+    sinv = scal_ref[0, 10]
+
+    stat = stat_ref[0]
+    frx = stat[0:1]
+    fry = stat[1:2]
+    t_ns = stat[2:3]
+    act = act_ref[0]
+    prb = pr_ref[0]
+
+    prx, pry = _warp_chunk(
+        frx, fry, t_ns, prb[0:1], prb[1:2],
+        dnx_, dny_, cx, cy, divp, cosv, sinv,
+    )
+    npr_ref[0, 0:1] = prx
+    npr_ref[0, 1:2] = pry
+
+    fx = prx * jnp.float32(scale) + x_sh
+    fy = pry * jnp.float32(scale) + y_sh
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+    ok = (
+        (act > 0)
+        & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
+        & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
+    )
+    row = jnp.where(ok, ix, -1)
+    col = jnp.transpose(jnp.where(ok, iy, -1))
+
+    t_sec = t_ns / jnp.float32(1e9)
+    _windowed_splat(acc_t, acc_c, row, col, t_sec, HP, WP, fb=fb_ref)
+
+
+def padded_image_shape(H: int, W: int) -> Tuple[int, int]:
+    """The kernel's padded accumulator geometry for logical dims (H, W)."""
+    return _round_up(max(H + 8, RH), 32), _round_up(max(W + 8, WC), 128)
+
+
+def fused_warp_splat_images(
+    stat, act, pr, scale: int,
+    x_sh, y_sh, w_dyn, h_dyn, dnx_, dny_, cx, cy, divp, crl,
+    H: int, W: int,
+):
+    """Shard-local warp + splat producing the PRE-FILTER images.
+
+    Returns (new_pr, acc_t, acc_c, fallback_chunks).  acc_t/acc_c are the
+    (HP, WP) padded sum-of-time / count images BEFORE the box filter —
+    linear in events, hence psum-combinable across an event-parallel mesh
+    axis.  Complete the iteration with finish_partials on the summed images.
+    """
+    HP, WP = padded_image_shape(H, W)
+    n_chunks = stat.shape[0]
+
+    scal = jnp.stack(
+        [jnp.asarray(v, jnp.float32) for v in
+         (x_sh, y_sh, w_dyn, h_dyn, dnx_, dny_, cx, cy, divp,
+          jnp.cos(crl), jnp.sin(crl))]
+        + [jnp.float32(0)] * 5
+    ).reshape(1, 16)
+
+    kern = functools.partial(_kernel_warp_images, scale=scale, HP=HP, WP=WP)
+    npr, acc_t, acc_c, fb = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, WP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, WP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, 2, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((HP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((HP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(scal, stat, act, pr)
+    return npr, acc_t, acc_c, fb[0, 0]
+
+
+def _kernel_finish(acc_t_ref, acc_c_ref, out_ref, *, scale: int, HP: int,
+                   WP: int, H: int, W: int):
+    _finish_phase(acc_t_ref, acc_c_ref, out_ref, scale, HP, WP, H, W)
+
+
+def finish_partials(acc_t, acc_c, scale: int, H: int, W: int) -> dict:
+    """Box filter + normalize + masked Scharr + the seven partial sums on a
+    (psum'd) pre-filter image pair — the second half of the sharded fused
+    iteration.  Runs replicated on every shard (identical inputs after the
+    psum, so the model stays exactly replicated with no extra collective)."""
+    HP, WP = acc_t.shape
+    kern = functools.partial(_kernel_finish, scale=scale, HP=HP, WP=WP,
+                             H=H, W=W)
+    out = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(acc_t, acc_c)
+    return {
+        "cnt": out[0, 0],
+        "s_row": out[0, 1],
+        "s_col": out[0, 2],
+        "s_gx": out[0, 3],
+        "s_gy": out[0, 4],
+        "s_rg": out[0, 5],
+        "s_dg": out[0, 6],
+    }
 
 
 def prepare_chunk_layouts(x, y, t_ns):
@@ -421,7 +601,7 @@ def pack_act(active):
 def fused_warp_splat(
     stat, act, pr, scale: int,
     x_sh, y_sh, w_dyn, h_dyn, dnx_, dny_, cx, cy, divp, crl,
-    H: int, W: int,
+    H: int, W: int, _probe_skip_finish: bool = False,
 ):
     """One optimizer iteration's event phase: re-warp every event with the
     accumulated model (about event-coordinate centroid (cx, cy)) and splat
@@ -441,7 +621,8 @@ def fused_warp_splat(
     ).reshape(1, 16)
 
     kern = functools.partial(_kernel_warp_windowed, scale=scale,
-                             HP=HP, WP=WP, H=H, W=W)
+                             HP=HP, WP=WP, H=H, W=W,
+                             probe_skip_finish=_probe_skip_finish)
     npr, out = pl.pallas_call(
         kern,
         grid=(n_chunks,),
@@ -471,6 +652,7 @@ def fused_warp_splat(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=_interp(),
     )(scal, stat, act, pr)
     partials = {
         "cnt": out[0, 0],
@@ -547,7 +729,13 @@ def _windowed_splat(acc_t, acc_c, row, col, t_sec, HP: int, WP: int,
     r_lo = pl.multiple_of(r_lo, 8)
     c_lo = pl.multiple_of(c_lo, 128)
     nonempty = r_min < big
-    fits = (r_max < r_lo + RH) & (c_max < c_lo + WC) & nonempty
+    row_fits = (r_max < r_lo + RH) & nonempty
+    fits = row_fits & (c_max < c_lo + WC)
+    # Mid-level fallback: pre-sorted chunks sit in one row band (band_pad
+    # guarantees it; only the warp can push rows out), so a chunk that
+    # escapes only in COLUMNS takes an (RH x full-width) window — 2.9x the
+    # windowed MXU cost at default geometry instead of the 13.5x full joint.
+    row_only = row_fits & ~fits
 
     t0 = t_sec[0, 0]
     tr = t_sec - t0
@@ -559,7 +747,14 @@ def _windowed_splat(acc_t, acc_c, row, col, t_sec, HP: int, WP: int,
         _splat_window(acc_t, acc_c, row, col, None, t0, w_hi, w_lo,
                       r_lo, c_lo, RH, WC, HP, WP)
 
-    @pl.when(~fits & nonempty)
+    @pl.when(row_only)
+    def _row_band():
+        if fb is not None:
+            fb[0, 0] += jnp.float32(1)
+        _splat_window(acc_t, acc_c, row, col, None, t0, w_hi, w_lo,
+                      r_lo, 0, RH, WP, HP, WP)
+
+    @pl.when(~row_fits & nonempty)
     def _full():
         if fb is not None:
             fb[0, 0] += jnp.float32(1)
@@ -698,6 +893,7 @@ def fused_model_partials_windowed(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=_interp(),
     )(scal, prx_r, pry_r, t_r, act_r, prx_c, pry_c, act_c)
 
     return {

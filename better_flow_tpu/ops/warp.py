@@ -57,6 +57,16 @@ def project_divcrl(fr_x, fr_y, t, pr_x, pr_y, nx, ny, cx, cy, div, crl, nz=float
     return pr_x, pr_y, nx, ny
 
 
+def project_dn(fr_x, fr_y, t, nx, ny, dnx, dny, nz=float(NZ)):
+    """Event::project_dn (event.h:72-76): incremental update n += dn, then
+    re-project from the original pixel.  Unused by the shipped reference
+    pipeline (kept for API surface parity)."""
+    nx = nx + dnx
+    ny = ny + dny
+    pr_x, pr_y = apply_project(fr_x, fr_y, t, nx, ny, nz)
+    return pr_x, pr_y, nx, ny
+
+
 def project_4param(
     fr_x, fr_y, t, pr_x, pr_y, nx, ny, dnx_, dny_, cx, cy, div, crl, nz=float(NZ)
 ):

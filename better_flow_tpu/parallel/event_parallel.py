@@ -91,15 +91,87 @@ def jit_event_parallel(cfg, sensor, mesh, warm_start=True):
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "hist_k", "mesh"))
+def _sharded_scan(xs, ys, ts, idx, starts, ends, model0, cfg, hist_k,
+                  mesh: Mesh):
+    """One compiled program: the slice scan with every slice's event slab
+    sharded over mesh axis 'ev'.  The shard-local body is the SAME scan
+    driver as the single-device path (scan_pipeline._run_scan) with
+    axis_name='ev' — on TPU the fused Pallas kernel runs per shard and the
+    pre-filter images are psum'd per iteration (the psum seam in
+    models.global_flow._run_fused)."""
+    from better_flow_tpu.runtime.scan_pipeline import _run_scan
+
+    model_spec = jax.tree_util.tree_map(lambda _: P(), model0)
+    body = partial(_run_scan, cfg=cfg, hist_k=hist_k, axis_name=AXIS)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                  P(None, AXIS), P(None), P(None), model_spec),
+        out_specs=(model_spec,
+                   (P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                    P(None), P(None)),
+                   P()),
+        check_vma=False,
+    )(xs, ys, ts, idx, starts, ends, model0)
+
+
+def prepare_recording_sharded(x, y, t_ns, cfg, n_dev: int):
+    """Host-side staging for the sharded scan: the band-padded spatially
+    sorted slabs of scan_pipeline.materialize_slices, with the padded
+    capacity rounded to a multiple of n_dev * CHUNK so every device's shard
+    is chunk-aligned (chunk boundaries then coincide with row-band
+    boundaries on every shard, preserving the windowed kernel's locality)."""
+    import time as _time
+
+    from better_flow_tpu.ops.pallas.fused_model import CHUNK
+    from better_flow_tpu.runtime.scan_pipeline import (
+        materialize_slices,
+        plan_slices,
+    )
+
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    t_ns = np.ascontiguousarray(t_ns, np.int64)
+    t0 = _time.perf_counter()
+    plan = plan_slices(t_ns, cfg)
+    xs, ys, ts, idx, lens = materialize_slices(
+        x, y, t_ns, plan, cfg.slice.max_events,
+        band_pad=True, res_x=cfg.sensor.res_x,
+    )
+    S, capp = xs.shape
+    quantum = n_dev * CHUNK
+    target = -(-capp // quantum) * quantum
+    if target != capp:
+        padc = ((0, 0), (0, target - capp))
+        xs = np.pad(xs, padc)
+        ys = np.pad(ys, padc)
+        ts = np.pad(ts, padc)
+        idx = np.pad(idx, padc, constant_values=-1)
+    first_overlap = np.searchsorted(plan.ends, plan.starts)
+    hist_k = max(1, int(np.max(np.arange(S) - first_overlap, initial=1)))
+    return {
+        "plan": plan, "n": len(x), "hist_k": hist_k, "idx_host": idx,
+        "xs": jnp.asarray(xs), "ys": jnp.asarray(ys), "ts": jnp.asarray(ts),
+        "idx": jnp.asarray(idx),
+        "starts": jnp.asarray(plan.starts.astype(np.int32)),
+        "ends": jnp.asarray(plan.ends.astype(np.int32)),
+        "plan_s": _time.perf_counter() - t0,
+    }
+
+
 def compensate_recording_scan_sharded(
     x, y, t_ns, cfg, mesh: Mesh, init_model: Optional[MotionModel] = None,
+    prepared: Optional[dict] = None,
 ) -> dict:
     """Multi-chip offline pipeline: the device-resident slice scan with each
     slice's events sharded over mesh axis 'ev'.
 
-    Inside shard_map, every device scatters its event shard (pre-filter
-    images psum'd per iteration via axis_name='ev'); the warm-start model
-    stays replicated because every device sees identical psum'd reductions.
+    Inside shard_map, every device runs the fused Pallas warp+splat on its
+    event shard; the pre-filter images are psum'd per iteration via
+    axis_name='ev' (riding ICI) and the finish kernel + model update run
+    replicated, so the warm-start model is identical on every device.
     Cross-slice noise persistence needs NO communication: the only noise
     source is the per-slice window gate (whose verdict is already
     replicated via the psum'd bounding box), so each shard reconstructs
@@ -107,120 +179,54 @@ def compensate_recording_scan_sharded(
     (window_small, start, end) — see scan_pipeline._run_scan.
 
     This is the 1-host/N-chip and (over DCN meshes) N-host measurement
-    configuration of BASELINE.md's scaling protocol.
+    configuration of BASELINE.md's scaling protocol.  Pass ``prepared``
+    from prepare_recording_sharded to reuse host staging across runs.
     """
     import time as _time
 
-    import numpy as np
-    from jax import lax
-
-    from better_flow_tpu.config import PipelineConfig
-    from better_flow_tpu.runtime.scan_pipeline import (
-        materialize_slices,
-        plan_slices,
-    )
-
     n_dev = mesh.shape[AXIS]
-    x = np.ascontiguousarray(x, np.float32)
-    y = np.ascontiguousarray(y, np.float32)
-    t_ns = np.ascontiguousarray(t_ns, np.int64)
-    n_total = len(x)
-
-    t0 = _time.perf_counter()
-    plan = plan_slices(t_ns, cfg)
-    cap = -(-cfg.slice.max_events // (8 * n_dev)) * 8 * n_dev
-    xs, ys, ts, idx, lens = materialize_slices(x, y, t_ns, plan, cap)
-    plan_s = _time.perf_counter() - t0
-
-    opt = cfg.optimizer
-    sensor = cfg.sensor
-    warm = not cfg.stm_disable
-    local_cap = cap // n_dev
-    S = xs.shape[0]
-    first_overlap = np.searchsorted(plan.ends, plan.starts)
-    hist_k = max(1, int(np.max(np.arange(S) - first_overlap, initial=1)))
-    starts_d = jnp.asarray(plan.starts.astype(np.int32))
-    ends_d = jnp.asarray(plan.ends.astype(np.int32))
-
-    def local_scan(xs, ys, ts, idx, lens, starts, ends, model0):
-        dev = lax.axis_index(AXIS)
-        pos = dev * local_cap + jnp.arange(local_cap, dtype=jnp.int32)
-
-        def step(carry, inputs):
-            model, ws_h, st_h, en_h = carry
-            sx, sy, st, sidx, slen, start, end = inputs
-            valid = pos < slen
-            noise = jnp.zeros_like(valid)
-            for j in range(hist_k):
-                noise |= ws_h[j] & (sidx >= st_h[j]) & (sidx <= en_h[j])
-            ev = EventSlice(x=sx, y=sy, t=st, valid=valid,
-                            noise=noise & valid)
-            res = process_slice(ev, model, opt, sensor, warm_start=warm,
-                                axis_name=AXIS)
-            ws_h = jnp.concatenate([ws_h[1:], res.window_small[None]])
-            st_h = jnp.concatenate([st_h[1:], start[None]])
-            en_h = jnp.concatenate([en_h[1:], end[None]])
-            return (res.model, ws_h, st_h, en_h), (
-                res.u, res.v, res.noise, res.iters
-            )
-
-        carry0 = (
-            model0,
-            jnp.zeros((hist_k,), bool),
-            jnp.zeros((hist_k,), jnp.int32),
-            jnp.full((hist_k,), -1, jnp.int32),
-        )
-        (final_model, *_), outs = lax.scan(
-            step, carry0, (xs, ys, ts, idx, lens, starts, ends)
-        )
-        return final_model, outs
-
-    model_spec = jax.tree_util.tree_map(lambda _: P(), MotionModel.zero())
-    fn = jax.jit(
-        jax.shard_map(
-            local_scan,
-            mesh=mesh,
-            in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
-                      P(None, AXIS), P(None), P(None), P(None), model_spec),
-            out_specs=(model_spec, (P(None, AXIS), P(None, AXIS),
-                                    P(None, AXIS), P(None))),
-            check_vma=False,
-        )
-    )
+    if prepared is None:
+        prepared = prepare_recording_sharded(x, y, t_ns, cfg, n_dev)
+    plan = prepared["plan"]
+    n_total = prepared["n"]
+    S = len(plan.ends)
 
     model0 = init_model or MotionModel.zero()
     t0 = _time.perf_counter()
-    final_model, (u, v, noise_s, iters) = fn(
-        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts),
-        jnp.asarray(idx), jnp.asarray(lens), starts_d, ends_d, model0,
+    final_model, (u, v, noise_s, iters, ran), chk = _sharded_scan(
+        prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
+        prepared["starts"], prepared["ends"], model0, cfg,
+        prepared["hist_k"], mesh,
     )
-    jax.block_until_ready(final_model)
+    float(np.asarray(chk))  # host fetch: forces true completion
     run_s = _time.perf_counter() - t0
 
-    # First-slice-wins by ORIGINAL index (slices are spatially sorted).
+    # First-slice-wins by ORIGINAL index (band-padded layouts interleave
+    # padding inside the slice, so mask on idx >= 0, not a length prefix).
     u = np.asarray(u)
     v = np.asarray(v)
     noise_s = np.asarray(noise_s)
+    idx_h = prepared["idx_host"]
     acc_u = np.zeros(n_total, np.float32)
     acc_v = np.zeros(n_total, np.float32)
     acc_noise = np.zeros(n_total, bool)
     seen = np.zeros(n_total, bool)
     for s in range(S):
-        m = int(lens[s])
-        orig = idx[s, :m]
+        m = idx_h[s] >= 0
+        orig = idx_h[s][m]
         fresh = ~seen[orig]
         tgt = orig[fresh]
-        acc_u[tgt] = u[s, :m][fresh]
-        acc_v[tgt] = v[s, :m][fresh]
-        acc_noise[tgt] = noise_s[s, :m][fresh]
+        acc_u[tgt] = u[s][m][fresh]
+        acc_v[tgt] = v[s][m][fresh]
+        acc_noise[tgt] = noise_s[s][m][fresh]
         seen[orig] = True
 
     return {
         "u": acc_u, "v": acc_v, "noise": acc_noise, "model": final_model,
-        "iters": np.asarray(iters),
+        "iters": np.asarray(iters), "ran": np.asarray(ran),
         "stats": {
             "n_events": n_total, "n_slices": S, "n_devices": n_dev,
-            "plan_s": plan_s, "run_s": run_s,
+            "plan_s": prepared["plan_s"], "run_s": run_s,
             "events_per_s": n_total / run_s if run_s > 0 else 0.0,
             "mean_iters": float(np.mean(np.asarray(iters))),
         },

@@ -22,12 +22,24 @@ in its tile.  One optimizer iteration:
    ``psum`` over both mesh axes (ops.reductions.model_compute_partial);
 6. every device updates the identical model and re-warps its events.
 
-Approximation (documented): an event whose warped centre drifts beyond the
-halo ring is masked out of the scatter for that iteration (it would land
-deeper inside a neighbour's tile).  ``halo`` therefore bounds the supported
-per-slice displacement; the event-parallel path (event_parallel.py) is the
-exact fallback for large drifts — on realistic sensors a replicated image
-psum is cheap, and tiling is a memory/bandwidth optimization.
+Events whose warped centre drifts beyond the halo ring (they would land
+deeper inside a neighbour's tile) are reconciled EXACTLY through a
+fixed-capacity **escape lane**: each device compacts its escapees (prefix-
+sum ranking, no sort) into an (esc_cap, 3) buffer, one small ``all_gather``
+ships every device's buffer everywhere, and each device scatter-adds the
+gathered events that fall inside its owned region — so any displacement is
+supported, not just <= halo.  The lane is sized by ``esc_cap``; if a device
+ever overflows it (escapes are empty in steady state — the halo covers
+typical per-slice drift) the dropped count is reported in
+``TiledSliceResult.escaped_dropped`` so callers can resize.  ``halo``
+therefore tunes bandwidth, not correctness.
+
+The optimizer schedule is the reference's adaptive divider loop
+(optimizer_rolling.h:60-111) running replicated — every device sees
+identical psum'd reductions, so the data-dependent iteration count is
+identical everywhere and the collective schedule inside the while_loop body
+stays static.  Pass ``n_iters`` to force a fixed count instead (the
+low-latency megapixel preset; bf_visualizer.cpp:102-104 fixes max_iter=10).
 """
 
 from __future__ import annotations
@@ -131,11 +143,32 @@ class TiledSliceResult(NamedTuple):
     u: jnp.ndarray
     v: jnp.ndarray
     iters: jnp.ndarray
+    # max over iterations of events dropped from the escape lane (psum'd;
+    # 0 = the tiled result is exact).  Resize esc_cap if ever nonzero.
+    escaped_dropped: jnp.ndarray
+
+
+def _escape_lane(gx, gy, t, escaped, esc_cap: int):
+    """Compact escaped events into an (esc_cap,) SoA buffer by prefix-sum
+    rank (no sort), all_gather every device's buffer, and return the
+    gathered (gx, gy, t, n_dropped).  Empty slots carry gx = -1."""
+    rank = jnp.cumsum(escaped.astype(jnp.int32)) - 1
+    pos = jnp.where(escaped, rank, esc_cap)
+    buf_x = jnp.full((esc_cap,), -1, jnp.int32).at[pos].set(
+        jnp.where(escaped, gx, -1), mode="drop")
+    buf_y = jnp.zeros((esc_cap,), jnp.int32).at[pos].set(gy, mode="drop")
+    buf_t = jnp.zeros((esc_cap,), jnp.float32).at[pos].set(t, mode="drop")
+    n_esc = jnp.sum(escaped.astype(jnp.int32))
+    dropped = jnp.maximum(n_esc - esc_cap, 0)
+    gather = lambda b: lax.all_gather(b, (AX_X, AX_Y), axis=0, tiled=True)
+    return gather(buf_x), gather(buf_y), gather(buf_t), lax.psum(
+        dropped, (AX_X, AX_Y))
 
 
 def _tiled_iteration(
     state, x, y, t, active, model, dividers, scale: int,
     tile_h: int, tile_w: int, halo: int, img_h: int, img_w: int,
+    esc_cap: int,
 ):
     """One optimizer iteration on a tiled image (see module docstring)."""
     pr_x, pr_y = state
@@ -176,6 +209,24 @@ def _tiled_iteration(
     tsum = _halo_exchange_add(tsum, halo, 1, AX_Y)
     cnt = _halo_exchange_add(cnt, halo, 0, AX_X)
     cnt = _halo_exchange_add(cnt, halo, 1, AX_Y)
+
+    # Exact reconciliation of BEYOND-halo drifts: ship escaped events
+    # through the fixed-capacity escape lane and add the ones whose global
+    # pixel falls in this device's owned region (before broadcast-back, so
+    # completed edge strips include them).
+    escaped = inb & ~in_halo
+    eg_x, eg_y, eg_t, dropped = _escape_lane(gx, gy, t, escaped, esc_cap)
+    own = (
+        (eg_x >= row0) & (eg_x < row0 + tile_h)
+        & (eg_y >= col0) & (eg_y < col0 + tile_w)
+    )
+    elx = eg_x - row0 + halo
+    ely = eg_y - col0 + halo
+    elin = jnp.where(own, elx * W + ely, H * W)
+    tsum = tsum.reshape(-1).at[elin].add(
+        jnp.where(own, eg_t / 1e9, 0.0), mode="drop").reshape(H, W)
+    cnt = cnt.reshape(-1).at[elin].add(
+        own.astype(jnp.float32), mode="drop").reshape(H, W)
 
     # Broadcast completed edge strips back so the box filter and Scharr at
     # tile edges read correct neighbour values (width: 1 for the Scharr ring
@@ -221,24 +272,51 @@ def _tiled_iteration(
         model.total_div, -model.total_rot,
     )
     model = model._replace(cx=cx_ev, cy=cy_ev)
-    return (pr_x, pr_y), nx, ny, model
+    return (pr_x, pr_y), nx, ny, model, dropped
+
+
+class TiledFlowState(NamedTuple):
+    """Loop carry of the tiled optimizer.  Field names match
+    models.global_flow.GlobalFlowState so _adaptive_loop drives it
+    unchanged (duck-typed via _replace/attribute access); ``esc`` rides
+    along as the worst per-iteration escape-lane overflow."""
+
+    pr_x: jnp.ndarray
+    pr_y: jnp.ndarray
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    model: MotionModel
+    x_div: jnp.ndarray
+    y_div: jnp.ndarray
+    rot_div: jnp.ndarray
+    div_div: jnp.ndarray
+    iters: jnp.ndarray
+    esc: jnp.ndarray
 
 
 def process_slice_tiled(
     x, y, t, active, init_model: MotionModel, cfg: OptimizerConfig,
     sensor: SensorConfig, mesh: Mesh, halo: int = 32, n_iters: int = None,
+    esc_cap: int = 4096,
 ) -> TiledSliceResult:
     """Run the 4-param optimizer with a tiled image over mesh
     ('tile_x', 'tile_y').  Event arrays are sharded over AX_X (pre-bucketed
     per tile by the caller via bucket_events); the model is replicated.
 
-    Uses a fixed iteration count (``n_iters``, default cfg.max_iter or 10):
-    the divider schedule runs identically on all devices, but a fixed count
-    keeps the collective schedule static — appropriate for the low-latency
-    megapixel regime (the reference's live preset also fixes max_iter=10,
+    By default runs the reference's ADAPTIVE divider schedule
+    (optimizer_rolling.h:60-111) as a while_loop with replicated decisions
+    — every device sees identical psum'd reductions, so the data-dependent
+    iteration count is identical everywhere.  Pass ``n_iters`` for a fixed
+    count instead (static collective schedule; the low-latency megapixel
+    regime, mirroring the live preset's max_iter=10,
     bf_visualizer.cpp:102-104).
+
+    ``esc_cap`` sizes the per-device escape lane for beyond-halo drifts
+    (module docstring); TiledSliceResult.escaped_dropped reports overflow
+    (0 = exact).
     """
-    iters = n_iters or (cfg.max_iter if cfg.max_iter > 0 else 10)
+    from better_flow_tpu.models.global_flow import _adaptive_loop
+
     scale = cfg.scale
     n_x = mesh.shape[AX_X]
     n_y = mesh.shape[AX_Y]
@@ -251,54 +329,72 @@ def process_slice_tiled(
     tile_w = max(tile_w, halo)
 
     def local_fn(x, y, t, active, model):
-        pr_x, pr_y = x, y
-        nx = jnp.zeros_like(x)
-        ny = jnp.zeros_like(x)
-        dividers = (
-            jnp.float32(cfg.init_xy_divider), jnp.float32(cfg.init_xy_divider),
-            jnp.float32(cfg.init_rotdiv_divider), jnp.float32(cfg.init_rotdiv_divider),
+        def step(s: TiledFlowState) -> TiledFlowState:
+            pr2, nx, ny, model2, dropped = _tiled_iteration(
+                (s.pr_x, s.pr_y), x, y, t, active, s.model,
+                (s.x_div, s.y_div, s.rot_div, s.div_div),
+                scale, tile_h, tile_w, halo, img_h, img_w, esc_cap,
+            )
+            return s._replace(
+                pr_x=pr2[0], pr_y=pr2[1], nx=nx, ny=ny, model=model2,
+                iters=s.iters + 1, esc=jnp.maximum(s.esc, dropped),
+            )
+
+        init = TiledFlowState(
+            pr_x=x, pr_y=y, nx=jnp.zeros_like(x), ny=jnp.zeros_like(x),
+            model=model,
+            x_div=jnp.float32(cfg.init_xy_divider),
+            y_div=jnp.float32(cfg.init_xy_divider),
+            rot_div=jnp.float32(cfg.init_rotdiv_divider),
+            div_div=jnp.float32(cfg.init_rotdiv_divider),
+            iters=jnp.int32(0), esc=jnp.int32(0),
         )
+        if n_iters is None:
+            # Reference adaptive schedule (replicated decisions): reuse the
+            # untiled driver — sign-flip divider doubling, dual gates.
+            final = _adaptive_loop(init, step, cfg)
+        else:
+            # Zero the warm model's per-iteration deltas so the first fixed
+            # step never doubles a divider against stale values.
+            init = init._replace(model=init.model._replace(
+                dx=jnp.float32(0), dy=jnp.float32(0),
+                rot=jnp.float32(0), div=jnp.float32(0)))
 
-        def body(carry, _):
-            (pr, model, dividers, old) = carry
-            pr2, nx, ny, model2 = _tiled_iteration(
-                pr, x, y, t, active, model, dividers, scale, tile_h, tile_w,
-                halo, img_h, img_w,
-            )
-            xd, yd, rd, dd = dividers
-            odx, ody, orot, odiv = old
-            dividers2 = (
-                jnp.where(model2.dx * odx < 0, xd * 2, xd),
-                jnp.where(model2.dy * ody < 0, yd * 2, yd),
-                jnp.where(model2.rot * orot < 0, rd * 2, rd),
-                jnp.where(model2.div * odiv < 0, dd * 2, dd),
-            )
-            old2 = (model2.dx, model2.dy, model2.rot, model2.div)
-            return (pr2, model2, dividers2, old2), None
+            def body(carry, _):
+                s = step(carry)
+                old = (carry.model.dx, carry.model.dy,
+                       carry.model.rot, carry.model.div)
+                m = s.model
+                return s._replace(
+                    x_div=jnp.where(m.dx * old[0] < 0, s.x_div * 2, s.x_div),
+                    y_div=jnp.where(m.dy * old[1] < 0, s.y_div * 2, s.y_div),
+                    rot_div=jnp.where(m.rot * old[2] < 0,
+                                      s.rot_div * 2, s.rot_div),
+                    div_div=jnp.where(m.div * old[3] < 0,
+                                      s.div_div * 2, s.div_div),
+                ), None
 
-        init = ((pr_x, pr_y), model, dividers,
-                (jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0)))
-        (pr, model, _, _), _ = lax.scan(body, init, None, length=iters)
-        # Recover n from the final warp: pr = fr - (n/nz)*t/1e4, so
-        # n = (fr - pr) * nz * 1e4 / t (zero at t == 0).
-        safe_t = jnp.where(t == 0, 1.0, t)
-        nx = jnp.where(t == 0, 0.0, (x - pr[0]) * 127.0 * 1e4 / safe_t)
-        ny = jnp.where(t == 0, 0.0, (y - pr[1]) * 127.0 * 1e4 / safe_t)
-        u, v = compute_uv(nx, ny)
+            final, _ = lax.scan(body, init, None, length=n_iters)
+        u, v = compute_uv(final.nx, final.ny)
         return TiledSliceResult(
-            model=model, pr_x=pr[0], pr_y=pr[1], u=u, v=v,
-            iters=jnp.int32(iters),
+            model=final.model, pr_x=final.pr_x, pr_y=final.pr_y, u=u, v=v,
+            iters=final.iters, escaped_dropped=final.esc,
         )
 
+    # Events are sharded over BOTH tile axes (device-major order produced
+    # by bucket_events / bucket_events_2d): each device owns the events
+    # whose ORIGINAL pixel falls in its tile, so only true warp drift uses
+    # the escape lane.
+    ev_spec = P((AX_X, AX_Y))
     model_spec = jax.tree_util.tree_map(lambda _: P(), init_model)
     out_spec = TiledSliceResult(
-        model=model_spec, pr_x=P(AX_X), pr_y=P(AX_X),
-        u=P(AX_X), v=P(AX_X), iters=P(),
+        model=model_spec, pr_x=ev_spec, pr_y=ev_spec,
+        u=ev_spec, v=ev_spec, iters=P(), escaped_dropped=P(),
     )
     fn = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(AX_X), P(AX_X), P(AX_X), P(AX_X), model_spec),
+        in_specs=(ev_spec, ev_spec, ev_spec, ev_spec, model_spec),
         out_specs=out_spec,
         check_vma=False,
     )
@@ -306,19 +402,38 @@ def process_slice_tiled(
 
 
 def bucket_events(x, y, t, res_x: int, scale: int, n_tiles_x: int, cap_per_tile: int):
-    """Host-side bucketing of events by home tile row (AX_X sharding):
+    """Host-side bucketing of events by home tile row (1-D row meshes):
     returns [n_tiles_x * cap] arrays ordered tile-major with validity."""
+    return bucket_events_2d(x, y, t, res_x, 0, scale, n_tiles_x, 1,
+                            cap_per_tile)
+
+
+def bucket_events_2d(x, y, t, res_x: int, res_y: int, scale: int,
+                     n_tx: int, n_ty: int, cap_per_tile: int):
+    """Host-side bucketing by home tile (tx, ty) for a 2-D tile mesh:
+    returns [n_tx * n_ty * cap] arrays in device-major order (tx-major,
+    ty-minor — the flattened order of mesh axes (AX_X, AX_Y)), so sharding
+    the arrays with P((AX_X, AX_Y)) hands each device exactly the events
+    whose ORIGINAL pixel falls in its tile."""
     x = np.asarray(x, np.float32)
     y = np.asarray(y, np.float32)
     t = np.asarray(t, np.float32)
     img_h = res_x * scale + scale
-    tile_h = -(-img_h // n_tiles_x)
-    home = np.minimum((x * scale).astype(np.int64) // tile_h, n_tiles_x - 1)
-    xs = np.zeros(n_tiles_x * cap_per_tile, np.float32)
+    tile_h = -(-img_h // n_tx)
+    home_x = np.minimum((x * scale).astype(np.int64) // tile_h, n_tx - 1)
+    if n_ty > 1:
+        img_w = res_y * scale + scale
+        tile_w = -(-img_w // n_ty)
+        home_y = np.minimum((y * scale).astype(np.int64) // tile_w, n_ty - 1)
+    else:
+        home_y = np.zeros(len(x), np.int64)
+    home = home_x * n_ty + home_y
+    n_tiles = n_tx * n_ty
+    xs = np.zeros(n_tiles * cap_per_tile, np.float32)
     ys = np.zeros_like(xs)
     ts = np.zeros_like(xs)
-    ok = np.zeros(n_tiles_x * cap_per_tile, bool)
-    for tile in range(n_tiles_x):
+    ok = np.zeros(n_tiles * cap_per_tile, bool)
+    for tile in range(n_tiles):
         sel = np.nonzero(home == tile)[0][:cap_per_tile]
         base = tile * cap_per_tile
         xs[base : base + len(sel)] = x[sel]

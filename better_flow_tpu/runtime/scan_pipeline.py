@@ -180,8 +180,14 @@ PERM_SENTINEL = np.uint16(0xFFFF)
 
 
 def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
-              cfg: PipelineConfig, hist_k: int):
+              cfg: PipelineConfig, hist_k: int, axis_name=None):
     """Shared scan driver over reconstructed slice slabs.
+
+    With ``axis_name`` the driver runs as the shard-local body of an
+    event-parallel shard_map (parallel.event_parallel): the slab arguments
+    are the per-device shards, process_slice combines pre-filter images
+    with one psum per iteration, and every scalar decision (gates, warm
+    start, noise history) is replicated by construction.
 
     Noise bookkeeping carries NO per-event global array: the scan path's
     only noise source is the per-slice degenerate-window gate
@@ -225,7 +231,8 @@ def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
         ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise & valid)
         # slices were spatially pre-sorted on the host (materialize_slices)
         res = process_slice(ev, model, opt, sensor, warm_start=warm,
-                            presorted=True, stat3=stat3)
+                            presorted=True, stat3=stat3,
+                            axis_name=axis_name)
         ws_h = jnp.concatenate([ws_h[1:], res.window_small[None]])
         st_h = jnp.concatenate([st_h[1:], start[None]])
         en_h = jnp.concatenate([en_h[1:], end[None]])
@@ -246,6 +253,8 @@ def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
     # true program completion (block_until_ready alone has shown async
     # under-measurement artifacts through the axon relay).
     chk = jnp.sum(outs[0]) + jnp.sum(outs[1])
+    if axis_name is not None:
+        chk = lax.psum(chk, axis_name)  # replicated scalar out of shard_map
     return final_model, outs, chk
 
 
@@ -300,10 +309,37 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
         )
 
     compact = integral_u16(x) and integral_u16(y)
-    xs, ys, ts, idx, lens = materialize_slices(
-        x, y, t_ns, plan, cfg.slice.max_events,
-        band_pad=True, res_x=cfg.sensor.res_x,
-    )
+
+    # Native single-pass materialization (counting sort per slice,
+    # native/bf_native.cpp): same layout as the numpy path below, ~100x
+    # faster — the numpy band-pad scatter alone costs ~24 s on a 6M-event
+    # recording and dominated cold end-to-end time (VERDICT r1 item 3).
+    native_out = None
+    if compact and len(plan.ends) > 0:
+        from better_flow_tpu.io import native as _native
+        from better_flow_tpu.ops.pallas.fused_model import CHUNK
+
+        band_rows = 32
+        n_bands = max(cfg.sensor.res_x + band_rows - 1, band_rows) // band_rows
+        cap = cfg.slice.max_events
+        capp = -(-(cap + n_bands * (CHUNK - 1)) // CHUNK) * CHUNK
+        if capp < 0xFFFF:
+            native_out = _native.materialize_bandpad(
+                x, y, t_ns, plan.starts, plan.ends, plan.slice_start_ns,
+                capp, band_rows, CHUNK, n_bands, cfg.sensor.res_y,
+            )
+    if native_out is not None:
+        xs16_n, ys16_n, ts, perm_n = native_out
+        idx = np.where(
+            perm_n != PERM_SENTINEL,
+            plan.starts[:, None] + perm_n.astype(np.int64), -1
+        ).astype(np.int32)
+        xs, ys = xs16_n, ys16_n  # already u16
+    else:
+        xs, ys, ts, idx, lens = materialize_slices(
+            x, y, t_ns, plan, cfg.slice.max_events,
+            band_pad=True, res_x=cfg.sensor.res_x,
+        )
     compact = compact and (idx.shape[1] < 0xFFFF)
     # Noise-history depth: the furthest back any slice's events extend
     # (slice s overlaps slice s' iff ends[s'] >= starts[s]; membership runs
@@ -316,11 +352,15 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
                 "starts": jnp.asarray(plan.starts.astype(np.int32)),
                 "ends": jnp.asarray(plan.ends.astype(np.int32))}
     if compact:
-        perm = idx.astype(np.int64) - plan.starts.astype(np.int64)[:, None]
-        perm = np.where(idx >= 0, perm, int(PERM_SENTINEL)).astype(np.uint16)
+        if native_out is not None:
+            perm = perm_n
+        else:
+            perm = idx.astype(np.int64) - plan.starts.astype(np.int64)[:, None]
+            perm = np.where(idx >= 0, perm,
+                            int(PERM_SENTINEL)).astype(np.uint16)
         prepared.update(
-            xs16=jnp.asarray(xs.astype(np.uint16)),
-            ys16=jnp.asarray(ys.astype(np.uint16)),
+            xs16=jnp.asarray(np.ascontiguousarray(xs, np.uint16)),
+            ys16=jnp.asarray(np.ascontiguousarray(ys, np.uint16)),
             ts=jnp.asarray(ts),
             perm=jnp.asarray(perm),
         )

@@ -9,11 +9,13 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
 // Build: python native/build.py  (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -194,5 +196,110 @@ int64_t bf_ring_snapshot(RingBuffer* r, float* x, float* y, int64_t* ts) {
 }
 
 int64_t bf_ring_size(RingBuffer* r) { return bf_ring_fix_span(r); }
+
+// --- Band-padded slice materialization: the host-staging hot path of the
+// offline scan (runtime/scan_pipeline.prepare_recording).  Produces the
+// SAME layout as the numpy materialize_slices(band_pad=True) + compact u16
+// encoding — verified element-exact by tests/test_native_prep.py — via one
+// counting sort per slice keyed by (row-band, column), i.e. the ordering of
+// ops/pallas/fused_model.sort_key_blocks, with every band padded to a
+// kernel-CHUNK boundary.  The numpy path costs ~24 s on a 6M-event
+// recording (a [300, 63k] fancy scatter); this pass is ~0.2 s.
+//
+// Outputs are [S, capp] row-major, pre-sized by the caller:
+//   xs16/ys16: event coordinates (u16), 0 in padding slots
+//   ts:        f32(t_ns - slice_start_ns[s]), 0 in padding slots
+//   perm:      u16 in-slice offset (original index = starts[s] + perm),
+//              0xFFFF in padding slots
+// Returns 0, or -1 if any slice's padded layout exceeds capp (caller must
+// then fall back to the numpy path).
+
+static void materialize_rows(
+    const float* x, const float* y, const int64_t* t_ns,
+    const int64_t* starts, const int64_t* ends, const int64_t* slice_start_ns,
+    int64_t s0, int64_t s1, int64_t capp, int64_t band_rows, int64_t chunk,
+    int64_t n_bands, int64_t res_y,
+    uint16_t* xs16, uint16_t* ys16, float* ts, uint16_t* perm, int* bad) {
+    std::vector<int64_t> cnt(n_bands * res_y);
+    std::vector<int64_t> base(n_bands + 1);
+    for (int64_t s = s0; s < s1; ++s) {
+        const int64_t lo = starts[s], hi = ends[s];
+        const int64_t t0 = slice_start_ns[s];
+        uint16_t* xr = xs16 + s * capp;
+        uint16_t* yr = ys16 + s * capp;
+        float* tr = ts + s * capp;
+        uint16_t* pr = perm + s * capp;
+        memset(xr, 0, capp * sizeof(uint16_t));
+        memset(yr, 0, capp * sizeof(uint16_t));
+        memset(tr, 0, capp * sizeof(float));
+        memset(pr, 0xFF, capp * sizeof(uint16_t));  // 0xFFFF sentinel
+
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = lo; i <= hi; ++i) {
+            int64_t b = (int64_t)x[i] / band_rows;
+            int64_t c = (int64_t)y[i];
+            cnt[b * res_y + c]++;
+        }
+        // chunk-aligned band bases
+        base[0] = 0;
+        for (int64_t b = 0; b < n_bands; ++b) {
+            int64_t bc = 0;
+            for (int64_t c = 0; c < res_y; ++c) bc += cnt[b * res_y + c];
+            base[b + 1] = base[b] + ((bc + chunk - 1) / chunk) * chunk;
+        }
+        if (base[n_bands] > capp) { *bad = 1; return; }
+        // exclusive prefix offsets within each band (by column)
+        for (int64_t b = 0; b < n_bands; ++b) {
+            int64_t run = 0;
+            for (int64_t c = 0; c < res_y; ++c) {
+                int64_t v = cnt[b * res_y + c];
+                cnt[b * res_y + c] = run;
+                run += v;
+            }
+        }
+        for (int64_t i = lo; i <= hi; ++i) {
+            int64_t b = (int64_t)x[i] / band_rows;
+            int64_t c = (int64_t)y[i];
+            int64_t pos = base[b] + cnt[b * res_y + c]++;
+            xr[pos] = (uint16_t)x[i];
+            yr[pos] = (uint16_t)y[i];
+            tr[pos] = (float)(t_ns[i] - t0);
+            pr[pos] = (uint16_t)(i - lo);
+        }
+    }
+}
+
+int64_t bf_materialize_bandpad(
+    const float* x, const float* y, const int64_t* t_ns,
+    const int64_t* starts, const int64_t* ends, const int64_t* slice_start_ns,
+    int64_t S, int64_t capp, int64_t band_rows, int64_t chunk,
+    int64_t n_bands, int64_t res_y,
+    uint16_t* xs16, uint16_t* ys16, float* ts, uint16_t* perm) {
+    int n_thr = (int)std::thread::hardware_concurrency();
+    if (n_thr < 1) n_thr = 1;
+    if (n_thr > 8) n_thr = 8;
+    if ((int64_t)n_thr > S) n_thr = (int)S;
+    std::vector<int> bad(n_thr, 0);
+    if (n_thr <= 1) {
+        materialize_rows(x, y, t_ns, starts, ends, slice_start_ns, 0, S,
+                         capp, band_rows, chunk, n_bands, res_y,
+                         xs16, ys16, ts, perm, &bad[0]);
+    } else {
+        std::vector<std::thread> threads;
+        int64_t per = (S + n_thr - 1) / n_thr;
+        for (int k = 0; k < n_thr; ++k) {
+            int64_t s0 = k * per;
+            int64_t s1 = s0 + per < S ? s0 + per : S;
+            if (s0 >= s1) break;
+            threads.emplace_back(materialize_rows, x, y, t_ns, starts, ends,
+                                 slice_start_ns, s0, s1, capp, band_rows,
+                                 chunk, n_bands, res_y, xs16, ys16, ts, perm,
+                                 &bad[k]);
+        }
+        for (auto& t : threads) t.join();
+    }
+    for (int b : bad) if (b) return -1;
+    return 0;
+}
 
 }  // extern "C"

@@ -1,0 +1,85 @@
+"""Event-parallel fused-Pallas path (split at the psum seam) vs XLA.
+
+VERDICT r1 item 2: the sharded path previously dropped to the XLA scatter
+(the exact serializing scatter the Pallas kernel exists to escape).  Now
+process_slice(..., axis_name='ev') with scatter_mode='pallas' runs the
+shard-local warp+splat kernel, psums the pre-filter images, and finishes
+with a second kernel (ops/pallas/fused_model.fused_warp_splat_images /
+finish_partials).  These tests pin that path to the XLA sharded branch on
+the virtual 8-device CPU mesh (interpret mode).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from better_flow_tpu.config import (
+    OptimizerConfig,
+    PipelineConfig,
+    SensorConfig,
+    SliceConfig,
+)
+from better_flow_tpu.core.events import make_slice
+from better_flow_tpu.core.model import MotionModel
+from better_flow_tpu.io.synthetic import synthetic_events
+from better_flow_tpu.models.global_flow import process_slice
+from better_flow_tpu.parallel.event_parallel import (
+    process_slice_event_parallel,
+)
+from better_flow_tpu.parallel.mesh import make_event_mesh
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+SMALL = SensorConfig(24, 32)
+
+
+def _slice(cap=2048, seed=0):
+    d = synthetic_events(int(cap * 0.9), duration_s=0.1, res_x=24, res_y=32,
+                         vx=18.0, vy=-12.0, n_points=60, seed=seed)
+    return make_slice(d["x"], d["y"], d["t_ns"].astype(np.float64),
+                      capacity=cap)
+
+
+@needs_8
+def test_sharded_pallas_matches_sharded_xla():
+    """Same mesh, same sharding — only the scatter engine differs."""
+    ev = _slice()
+    mesh = make_event_mesh(8)
+    cfg_x = OptimizerConfig(scale=3, max_iter=6, min_events=100,
+                            scatter_mode="xla")
+    cfg_p = dataclasses.replace(cfg_x, scatter_mode="pallas")
+    ref = process_slice_event_parallel(ev, MotionModel.zero(), cfg_x, SMALL,
+                                       mesh)
+    # off-TPU the kernels auto-run in the generic pallas interpreter, which
+    # composes with shard_map (fused_model._interp)
+    out = process_slice_event_parallel(ev, MotionModel.zero(), cfg_p,
+                                       SMALL, mesh)
+    assert int(out.iters) == int(ref.iters)
+    np.testing.assert_allclose(float(out.model.total_dx),
+                               float(ref.model.total_dx),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(out.model.total_rot),
+                               float(ref.model.total_rot),
+                               rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                               rtol=1e-3, atol=1e-2)
+
+
+@needs_8
+def test_sharded_pallas_matches_single_device():
+    """The sharded fused path reproduces the unsharded XLA reference."""
+    ev = _slice(seed=3)
+    mesh = make_event_mesh(8)
+    cfg_x = OptimizerConfig(scale=3, max_iter=6, min_events=100,
+                            scatter_mode="xla")
+    cfg_p = dataclasses.replace(cfg_x, scatter_mode="pallas")
+    ref = process_slice(ev, MotionModel.zero(), cfg_x, SMALL)
+    out = process_slice_event_parallel(ev, MotionModel.zero(), cfg_p,
+                                       SMALL, mesh)
+    assert int(out.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               rtol=1e-3, atol=1e-2)

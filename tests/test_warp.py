@@ -83,6 +83,21 @@ def test_reinit_overwrites_while_4param_accumulates(rng):
     np.testing.assert_allclose(np.asarray(ny_r), [0.01], rtol=1e-6)
 
 
+def test_project_dn_increments_n(rng):
+    """project_dn accumulates n += dn then re-projects from fr
+    (event.h:72-76)."""
+    from better_flow_tpu.ops.warp import project_dn
+
+    fx = np.array([10.0]); fy = np.array([20.0]); t = np.array([1e7])
+    nx0 = np.array([0.05]); ny0 = np.array([-0.02])
+    prx, pry, nx, ny = project_dn(fx, fy, t, nx0, ny0, 0.01, -0.03)
+    np.testing.assert_allclose(np.asarray(nx), nx0 + 0.01, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ny), ny0 - 0.03, rtol=1e-6)
+    exp_x, exp_y = apply_project(fx, fy, t, nx0 + 0.01, ny0 - 0.03)
+    np.testing.assert_allclose(np.asarray(prx), np.asarray(exp_x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pry), np.asarray(exp_y), rtol=1e-6)
+
+
 def test_compute_uv_matches_naive_and_inverts(rng):
     nx = np.concatenate([[0.0], rng.normal(0, 0.05, 31)])
     ny = np.concatenate([[0.0], rng.normal(0, 0.05, 31)])

@@ -58,6 +58,101 @@ def make_slice(n_events: int, cfg: PipelineConfig, seed: int = 42):
     return xs[0], ys[0], ts[0], (idx[0] >= 0)
 
 
+def bench_probes(n_events: int, iters: int, cfg: PipelineConfig, reps: int = 3):
+    """Dissect the per-iteration fixed cost: splat-only kernel loop (no
+    finish phase), pure scalar-glue loop (no pallas), and a minimal
+    pallas-launch loop."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from better_flow_tpu.core.model import MotionModel
+    from better_flow_tpu.ops.reductions import model_from_partials
+
+    scale = cfg.optimizer.scale
+    H, W = static_image_shape(scale, cfg.sensor)
+    x, y, t, valid = make_slice(n_events, cfg)
+    stat = prepare_chunk_layouts(jnp.asarray(x), jnp.asarray(y), jnp.asarray(t))
+    act = pack_act(jnp.asarray(valid, jnp.float32))
+
+    x_sh = jnp.float32(scale // 2)
+    y_sh = jnp.float32(scale // 2)
+    w_dyn = jnp.float32((cfg.sensor.res_x - 1) * scale)
+    h_dyn = jnp.float32((cfg.sensor.res_y - 1) * scale)
+
+    @jax.jit
+    def run_splat_only(stat, act, k):
+        def body(i, carry):
+            pr, acc = carry
+            npr, p = fused_warp_splat(
+                stat, act, pr, scale, x_sh, y_sh, w_dyn, h_dyn,
+                jnp.float32(0.05), jnp.float32(-0.03),
+                jnp.float32(90.0), jnp.float32(120.0),
+                jnp.float32(1e-4), jnp.float32(1e-4), H, W,
+                _probe_skip_finish=True,
+            )
+            return npr, acc + p["cnt"]
+
+        _, acc = lax.fori_loop(0, k, body, (stat[:, 0:2], jnp.float32(0)))
+        return acc
+
+    @jax.jit
+    def run_glue(k):
+        # the scalar chain of one optimizer iteration, no pallas
+        m0 = MotionModel.zero()
+
+        def body(i, carry):
+            m, v = carry
+            p = {"cnt": v + 100, "s_row": v * 2, "s_col": v * 3,
+                 "s_gx": v - 1, "s_gy": v + 1, "s_rg": v, "s_dg": v * 0.5}
+            cx, cy, terms = model_from_partials(p)
+            m = m._replace(cx=cx, cy=cy, dx=terms.dx, dy=terms.dy,
+                           rot=terms.rot, div=terms.div, cnt=terms.cnt)
+            m = m.update_accumulators(
+                jnp.float32(1e4), jnp.float32(1e4), jnp.float32(1), jnp.float32(1))
+            return m, v + jnp.cos(m.total_rot) + jnp.sin(m.total_div)
+
+        m, v = lax.fori_loop(0, k, body, (m0, jnp.float32(1.0)))
+        return v + m.total_dx
+
+    def tiny_kernel(s_ref, o_ref):
+        o_ref[0, 0] = s_ref[0, 0] + 1.0
+
+    tiny = pl.pallas_call(
+        tiny_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+    )
+
+    @jax.jit
+    def run_launch(k):
+        def body(i, s):
+            return tiny(s)
+
+        return lax.fori_loop(0, k, body, jnp.zeros((1, 8), jnp.float32))
+
+    for name, fn, args in (
+        ("splat-only", run_splat_only, (stat, act)),
+        ("scalar-glue", run_glue, ()),
+        ("pallas-launch", run_launch, ()),
+    ):
+        lo, hi = 32, 96
+        float(jnp.sum(fn(*args, jnp.int32(lo))))
+        float(jnp.sum(fn(*args, jnp.int32(hi))))
+        ts = {}
+        for k in (lo, hi):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                float(jnp.sum(fn(*args, jnp.int32(k))))
+            ts[k] = (time.perf_counter() - t0) / reps
+        d = (ts[hi] - ts[lo]) / (hi - lo)
+        print(f"probe {name:14s} marginal per-iter = {d * 1e6:7.1f} us",
+              flush=True)
+
+
 def bench(n_events: int, iters: int, cfg: PipelineConfig, reps: int = 3):
     scale = cfg.optimizer.scale
     H, W = static_image_shape(scale, cfg.sensor)
@@ -110,7 +205,7 @@ def main():
     cfg = PipelineConfig()
     print(f"backend={jax.default_backend()} CHUNK={CHUNK}")
     results = {}
-    for n_events in (26 * CHUNK,):
+    for n_events in (8 * CHUNK, 26 * CHUNK):
         for iters in (32, 96):
             n_chunks, dt, fb = bench(n_events, iters, cfg)
             results[(n_chunks, iters)] = dt
