@@ -153,6 +153,14 @@ class PipelineConfig:
     video_name: str = "./out.mp4"
     video_fps: int = 60
     quiet: bool = True
+    # Accumulate the warp totals in float64 (requires jax x64 mode).  The
+    # reference keeps its accumulators in double (object_model.h:10-13); the
+    # default f32 carry emulates that with Kahan compensation, which is
+    # usually indistinguishable — this flag makes the carry exactly double
+    # for rot/div-dominated chains where the residual drift matters
+    # (PARITY.md "Known behavioural divergence").  The per-event warp stays
+    # f32 in both modes (ops/warp.project_4param_reinit entry casts).
+    f64_totals: bool = False
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -34,9 +34,20 @@ class MotionModel(NamedTuple):
     # (PARITY.md "Known behavioural divergence").
 
     @staticmethod
-    def zero() -> "MotionModel":
+    def zero(totals_dtype=jnp.float32) -> "MotionModel":
+        """Fresh model.  ``totals_dtype=jnp.float64`` (requires jax x64)
+        makes the accumulated-warp carry exactly double precision, matching
+        the reference's double accumulators (object_model.h:10-13) instead
+        of emulating them with Kahan-compensated f32; the per-event warp
+        stays f32 either way (project_4param_reinit casts on entry, as the
+        C++ apply_project truncates to float, event.h:156-167)."""
         z = jnp.float32(0.0)
-        return MotionModel(*([z] * 15))
+        zt = jnp.zeros((), totals_dtype)
+        return MotionModel(
+            cx=z, cy=z, dx=z, dy=z, rot=z, div=z, cnt=z,
+            total_dx=zt, total_dy=zt, total_rot=zt, total_div=zt,
+            comp_dx=zt, comp_dy=zt, comp_rot=zt, comp_div=zt,
+        )
 
     def update_accumulators(self, d_rot, d_div, d_x, d_y) -> "MotionModel":
         """total_p += p / divider — the gradient step.

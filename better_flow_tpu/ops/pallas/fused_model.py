@@ -400,7 +400,8 @@ def _kernel_warp_windowed(
     if probe_skip_finish:   # perf-dissection probe: splat grid only
         @pl.when(pid == n_prog - 1)
         def _finish_stub():
-            out_ref[:, :] = jnp.zeros((1, 8), jnp.float32)
+            for j in range(8):   # SMEM accepts scalar stores only
+                out_ref[0, j] = jnp.float32(0)
     else:
         @pl.when(pid == n_prog - 1)
         def _finish():

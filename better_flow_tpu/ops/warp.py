@@ -88,7 +88,15 @@ def project_4param_reinit(
     with dn + (dnx_, dny_), and pr is recomputed from the original pixel fr.
     Call sites pass the model's *accumulated totals* with the sign pattern
     (-total_dx, -total_dy, cx, cy, total_div, -total_rot).
+
+    Model scalars are cast to f32 on entry: the warp computes in f32
+    regardless of the carry's accumulation precision (MotionModel.zero
+    totals_dtype), pinning one per-event op order for both modes — the C++
+    similarly truncates to float inside apply_project (event.h:156-167).
     """
+    dnx_, dny_, cx, cy, div, crl = (
+        jnp.asarray(a, jnp.float32) for a in (dnx_, dny_, cx, cy, div, crl)
+    )
     dnx, dny = _divcrl_dn(pr_x, pr_y, cx, cy, div, crl)
     nx = dnx + dnx_
     ny = dny + dny_

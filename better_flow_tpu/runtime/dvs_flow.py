@@ -49,7 +49,11 @@ class DVSFlow:
         self.cfg = cfg
         sl = cfg.slice
         self.buffer = EventRingBuffer(sl.max_events, sl.span_ns)
-        self.last_model = MotionModel.zero()
+        import jax.numpy as _jnp
+
+        self.last_model = MotionModel.zero(
+            _jnp.float64 if cfg.f64_totals else _jnp.float32
+        )
         # Trigger state (dvs_flow.h:30-36).
         self.event_diff = 0
         self.time_diff = 0

@@ -393,7 +393,18 @@ def compensate_recording_scan(
     n = prepared["n"]
     t_plan = prepared["plan_s"]
 
-    model0 = init_model or MotionModel.zero()
+    if init_model is not None:
+        model0 = init_model
+    elif cfg.f64_totals:
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "cfg.f64_totals requires x64 mode (jax.experimental."
+                "enable_x64() or jax_enable_x64=True); without it the "
+                "f64 carry would silently downcast to f32"
+            )
+        model0 = MotionModel.zero(jnp.float64)
+    else:
+        model0 = MotionModel.zero()
     t_run0 = time.perf_counter()
     if prepared["compact"]:
         final_model, (u, v, noise_s, iters, ran), chk = _scan_slices_compact(

@@ -152,3 +152,30 @@ def test_rotdiv_flow_matches_reference(golden_rotdiv):
     occ_raw = occupancy(np.zeros_like(t_s), np.zeros_like(t_s))
     assert occ_ours < occ_raw              # we deblur
     assert occ_ours <= occ_ref * 1.15      # within 15% of the C++ sharpness
+
+
+def test_rotdiv_flow_f64_totals(golden_rotdiv):
+    """With f64 warp totals (the reference's own accumulator precision,
+    object_model.h:10-13) the chain tracks the C++ for longer: the early
+    window extends from 5 to 8 slices at a tighter gate.  (The residual
+    bifurcation beyond that stems from the f32 warp itself — the C++
+    carries pr/n in double and truncates only inside apply_project.)"""
+    from jax import enable_x64
+
+    from better_flow_tpu.config import PipelineConfig
+    from better_flow_tpu.io.event_file import read_events, read_events_uv
+    from better_flow_tpu.runtime.scan_pipeline import (
+        compensate_recording_scan,
+        plan_slices,
+    )
+
+    cfg = PipelineConfig(f64_totals=True)
+    rec = read_events(golden_rotdiv["rec"])
+    ref = read_events_uv(golden_rotdiv["ref_out"])
+    with enable_x64():
+        out = compensate_recording_scan(rec["x"], rec["y"], rec["t_ns"], cfg)
+
+    plan = plan_slices(rec["t_ns"], cfg)
+    end8 = plan.ends[min(7, len(plan.ends) - 1)] + 1
+    c = np.corrcoef(out["u"][:end8], ref["u"][:end8])[0, 1]
+    assert c > 0.995, c
