@@ -413,6 +413,16 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         ev.x, ev.y, ev.t)
     act = pack_act(ev.active)
 
+    # Megastep: single-device slices with a built-in schedule and an f32
+    # carry run the WHOLE iteration (splat + finish + scalar model update +
+    # convergence predicate) as one pallas_call — the XLA-composed scalar
+    # chain between kernel calls costs tens of us per iteration on v5e
+    # (bench_probes "scalar-glue").  The event-parallel path keeps the psum
+    # seam below; custom carriers (f64 totals) keep the composed scalars.
+    if (axis_name is None and cfg.schedule in ("reference", "fast")
+            and model0.total_dx.dtype == jnp.float32):
+        return _run_fused_mega(ev, geom, model0, cfg, scale, H, W, stat, act)
+
     def step(s: FusedFlowState, update_fn=None) -> FusedFlowState:
         m = s.model
         args = (
@@ -462,6 +472,79 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
     )
     return m, pr_x, pr_y, nx, ny, final.iters
+
+
+def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
+                    stat, act):
+    """Megastep driver: while_loop whose body is one pallas_call carrying an
+    SMEM (1, 32) scalar state (ops/pallas/fused_model.ST_* layout) plus the
+    chunked positions; cond reads the kernel-computed continue flag.  The
+    in-kernel update replicates _adaptive_loop/_fast_loop exactly (same f32
+    op order), so results match the composed path bit for bit."""
+    from better_flow_tpu.ops.pallas.fused_model import (
+        ST_CDIV, ST_CDX, ST_CDY, ST_CNT, ST_CONT, ST_CROT, ST_CX, ST_CY,
+        ST_DDIV, ST_DIV, ST_DX, ST_DY, ST_ITERS, ST_RDIV, ST_ROT, ST_TDIV,
+        ST_TDX, ST_TDY, ST_TROT, ST_XDIV, ST_YDIV, megastep_call,
+    )
+
+    geo = jnp.stack(
+        [jnp.asarray(v, jnp.float32) for v in
+         (geom.x_shift, geom.y_shift, geom.w_dyn, geom.h_dyn)]
+        + [jnp.float32(0)] * 4
+    ).reshape(1, 8)
+
+    z = jnp.float32(0)
+    vals = [z] * 32
+    vals[ST_TDX] = jnp.asarray(model0.total_dx, jnp.float32)
+    vals[ST_TDY] = jnp.asarray(model0.total_dy, jnp.float32)
+    vals[ST_TROT] = jnp.asarray(model0.total_rot, jnp.float32)
+    vals[ST_TDIV] = jnp.asarray(model0.total_div, jnp.float32)
+    vals[ST_CDX] = jnp.asarray(model0.comp_dx, jnp.float32)
+    vals[ST_CDY] = jnp.asarray(model0.comp_dy, jnp.float32)
+    vals[ST_CROT] = jnp.asarray(model0.comp_rot, jnp.float32)
+    vals[ST_CDIV] = jnp.asarray(model0.comp_div, jnp.float32)
+    vals[ST_CX] = model0.cx
+    vals[ST_CY] = model0.cy
+    vals[ST_XDIV] = jnp.float32(cfg.init_xy_divider)
+    vals[ST_YDIV] = jnp.float32(cfg.init_xy_divider)
+    vals[ST_RDIV] = jnp.float32(cfg.init_rotdiv_divider)
+    vals[ST_DDIV] = jnp.float32(cfg.init_rotdiv_divider)
+    vals[ST_CNT] = model0.cnt
+    st0 = jnp.stack(vals).reshape(1, 32)
+
+    def body(carry):
+        st, pr = carry
+        npr, st2 = megastep_call(
+            stat, act, pr, st, geo, scale=scale, H=H, W=W,
+            schedule=cfg.schedule, rot_tol=cfg.rot_tol, div_tol=cfg.div_tol,
+            dx_tol=cfg.dx_tol, dy_tol=cfg.dy_tol,
+            xy_cap=cfg.xy_divider_cap, rotdiv_cap=cfg.rotdiv_divider_cap,
+            max_iter=cfg.max_iter, hard_cap=cfg.iter_hard_cap,
+        )
+        return (st2, npr)
+
+    # Unconditional first step (optimizer_rolling.h:73-74), then the loop.
+    carry = body((st0, stat[:, 0:2]))
+    st, pr = lax.while_loop(lambda c: c[0][0, ST_CONT] > 0, body, carry)
+
+    m = model0._replace(
+        cx=st[0, ST_CX], cy=st[0, ST_CY], dx=st[0, ST_DX], dy=st[0, ST_DY],
+        rot=st[0, ST_ROT], div=st[0, ST_DIV], cnt=st[0, ST_CNT],
+        total_dx=st[0, ST_TDX], total_dy=st[0, ST_TDY],
+        total_rot=st[0, ST_TROT], total_div=st[0, ST_TDIV],
+        comp_dx=st[0, ST_CDX], comp_dy=st[0, ST_CDY],
+        comp_rot=st[0, ST_CROT], comp_div=st[0, ST_CDIV],
+    )
+    iters = st[0, ST_ITERS].astype(jnp.int32)
+
+    cap = ev.x.shape[0]
+    pr_prev_x = pr[:, 0].reshape(-1)[:cap]
+    pr_prev_y = pr[:, 1].reshape(-1)[:cap]
+    pr_x, pr_y, nx, ny = project_4param_reinit(
+        ev.x, ev.y, ev.t, pr_prev_x, pr_prev_y,
+        -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
+    )
+    return m, pr_x, pr_y, nx, ny, iters
 
 
 def process_slice(

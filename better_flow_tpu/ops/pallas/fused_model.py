@@ -9,8 +9,7 @@ of its time shuttling the ~400k-pixel image through HBM between ops.
 Here one `pallas_call` keeps the image resident in VMEM end to end:
 
 1. grid over event chunks: each chunk contributes its center-pixel splat via
-   **one-hot matmuls on the MXU** — ``img += (onehot_rows * w)^T @
-   onehot_cols`` — whose cost is independent of index collisions (XLA's
+   **one-hot matmuls on the MXU** — ``img += (onehot_rows * w) @ onehot_colsT^T`` — whose cost is independent of index collisions (XLA's
    scatter serializes colliding updates, which is exactly what converged,
    concentrated slices produce).  Counts are exact; the time weights use a
    3-way bf16 split (hi+lo+lo2) for ~f32 accuracy.
@@ -66,8 +65,7 @@ def _roll(a, shift: int, axis: int):
     return pltpu.roll(a, shift % size, axis)
 
 
-def _kernel(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref,
-            prx_c_ref, pry_c_ref, act_c_ref, out_ref,
+def _kernel(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref, out_ref,
             acc_t, acc_c, *, scale: int, HP: int, WP: int, H: int, W: int):
     pid = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -96,46 +94,27 @@ def _kernel(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref,
         )
         return ix, iy, ok
 
-    # Row-vector layout (1, CHUNK) feeds the row one-hot; column-vector
-    # layout (CHUNK, 1) feeds the column one-hot — the same event data in
-    # two orientations, prepared host-side, because Mosaic does not support
-    # the (1, C) <-> (C, 1) shape cast in-kernel.
+    # All event data rides in ROW layout (1, CHUNK); the column one-hot is
+    # built transposed (WP, CHUNK) and contracted with a transposed-rhs
+    # dot_general (see _splat_window).
     prx_r = prx_r_ref[0]
     pry_r = pry_r_ref[0]
     t_sec = t_r_ref[0]
     act_r = act_r_ref[0]
-    ix_r, _, ok_r = accept(prx_r, pry_r, act_r)
+    ix_r, iy_r, ok_r = accept(prx_r, pry_r, act_r)
     row = jnp.where(ok_r, ix_r, -1)                        # (1, CHUNK)
+    colr = jnp.where(ok_r, iy_r, -1)                       # (1, CHUNK)
 
-    prx_c = prx_c_ref[0]
-    pry_c = pry_c_ref[0]
-    act_c = act_c_ref[0]
-    _, iy_c, ok_c = accept(prx_c, pry_c, act_c)
-    col = jnp.where(ok_c, iy_c, -1)                        # (CHUNK, 1)
-
-    rows_i = lax.broadcasted_iota(jnp.int32, (HP, CHUNK), 0)
-    cols_i = lax.broadcasted_iota(jnp.int32, (CHUNK, WP), 1)
-    oh_r = (rows_i == row).astype(jnp.bfloat16)            # (HP, CHUNK)
-    oh_c = (cols_i == col).astype(jnp.bfloat16)            # (CHUNK, WP)
-
-    # Chunk-relative time base: slices are chronological, so a chunk's times
-    # span only (CHUNK/N)*slice_span (~8 ms at defaults).  Two bf16 passes
-    # on the residual reach f32-level absolute accuracy (span * 2^-17), and
-    # the base rides the exact count matmul: sum(t) = t0*cnt + sum(t - t0).
+    # Chunk-relative time base: sum(t) = t0*cnt + sum(t - t0), with the
+    # residual in two bf16 passes (hi + lo) for ~f32 absolute accuracy.
     # Padded/rejected events have row == -1, so their (possibly large)
     # residuals never reach the accumulators.
     t0 = t_sec[0, 0]
     tr = t_sec - t0
     w_hi = tr.astype(jnp.bfloat16)
     w_lo = (tr - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    contrib_c = jnp.dot(oh_r, oh_c, preferred_element_type=jnp.float32)
-    acc_c[:, :] += contrib_c
-    acc_t[:, :] += (
-        t0 * contrib_c
-        + jnp.dot(oh_r * w_hi, oh_c, preferred_element_type=jnp.float32)
-        + jnp.dot(oh_r * w_lo, oh_c, preferred_element_type=jnp.float32)
-    )
+    _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo, 0, 0, HP, WP,
+                  HP, WP)
 
     # ---- final step: box filter + normalize + Scharr + reductions --------
     @pl.when(pid == n_prog - 1)
@@ -143,8 +122,12 @@ def _kernel(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref,
         _finish_phase(acc_t, acc_c, out_ref, scale, HP, WP, H, W)
 
 
-def _finish_phase(acc_t, acc_c, out_ref, scale: int, HP: int, WP: int,
-                  H: int, W: int):
+def _finish_values(acc_t, acc_c, scale: int, HP: int, WP: int,
+                   H: int, W: int):
+    """Box filter + normalize + masked Scharr + the seven partial sums, as
+    in-kernel VALUES (tuple of scalars) so callers can either write them to
+    an SMEM output (_finish_phase) or feed the in-kernel model update
+    (_kernel_megastep)."""
     half = scale // 2
     if True:
         def box(acc):
@@ -205,20 +188,28 @@ def _finish_phase(acc_t, acc_c, out_ref, scale: int, HP: int, WP: int,
 
         gxm = gx * m
         gym = gy * m
-        out_ref[0, 0] = jnp.sum(m)                                   # cnt
-        out_ref[0, 1] = jnp.sum(jnp.sum(m, 1, keepdims=True) * row_i)  # s_row
-        out_ref[0, 2] = jnp.sum(jnp.sum(m, 0, keepdims=True) * col_i)  # s_col
-        out_ref[0, 3] = jnp.sum(gxm)                                 # s_gx
-        out_ref[0, 4] = jnp.sum(gym)                                 # s_gy
-        out_ref[0, 5] = (
+        cnt = jnp.sum(m)
+        s_row = jnp.sum(jnp.sum(m, 1, keepdims=True) * row_i)
+        s_col = jnp.sum(jnp.sum(m, 0, keepdims=True) * col_i)
+        s_gx = jnp.sum(gxm)
+        s_gy = jnp.sum(gym)
+        s_rg = (
             jnp.sum(jnp.sum(gym, 1, keepdims=True) * row_i)
             - jnp.sum(jnp.sum(gxm, 0, keepdims=True) * col_i)
-        )                                                            # s_rg
-        out_ref[0, 6] = (
+        )
+        s_dg = (
             jnp.sum(jnp.sum(gxm, 1, keepdims=True) * row_i)
             + jnp.sum(jnp.sum(gym, 0, keepdims=True) * col_i)
-        )                                                            # s_dg
-        out_ref[0, 7] = jnp.float32(0)
+        )
+        return cnt, s_row, s_col, s_gx, s_gy, s_rg, s_dg
+
+
+def _finish_phase(acc_t, acc_c, out_ref, scale: int, HP: int, WP: int,
+                  H: int, W: int):
+    vals = _finish_values(acc_t, acc_c, scale, HP, WP, H, W)
+    for j, v in enumerate(vals):
+        out_ref[0, j] = v
+    out_ref[0, 7] = jnp.float32(0)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "H", "W"))
@@ -242,18 +233,10 @@ def fused_model_partials(
             n_pad // CHUNK, 1, CHUNK
         )
 
-    def pad_col(a):
-        return jnp.pad(a.astype(jnp.float32), (0, n_pad - n)).reshape(
-            n_pad // CHUNK, CHUNK, 1
-        )
-
     prx_r = pad_row(pr_x)
     pry_r = pad_row(pr_y)
     t_r = pad_row(t_ns / jnp.float32(1e9))
     act_r = pad_row(active.astype(jnp.float32))
-    prx_c = pad_col(pr_x)
-    pry_c = pad_col(pr_y)
-    act_c = pad_col(active.astype(jnp.float32))
 
     scal = jnp.stack(
         [jnp.float32(x_sh), jnp.float32(y_sh),
@@ -273,11 +256,6 @@ def fused_model_partials(
             pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
-        ]
-        + [
-            pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(3)
         ],
         out_specs=pl.BlockSpec((1, 8), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -290,7 +268,7 @@ def fused_model_partials(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interp(),
-    )(scal, prx_r, pry_r, t_r, act_r, prx_c, pry_c, act_c)
+    )(scal, prx_r, pry_r, t_r, act_r)
 
     return {
         "cnt": out[0, 0],
@@ -391,11 +369,11 @@ def _kernel_warp_windowed(
         & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
         & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
     )
-    row = jnp.where(ok, ix, -1)                  # (1, CHUNK)
-    col = jnp.transpose(jnp.where(ok, iy, -1))   # (CHUNK, 1)
+    row = jnp.where(ok, ix, -1)     # (1, CHUNK)
+    colr = jnp.where(ok, iy, -1)    # (1, CHUNK) — row layout throughout
 
     t_sec = t_ns / jnp.float32(1e9)
-    _windowed_splat(acc_t, acc_c, row, col, t_sec, HP, WP, fb=fb)
+    _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb)
 
     if probe_skip_finish:   # perf-dissection probe: splat grid only
         @pl.when(pid == n_prog - 1)
@@ -467,10 +445,10 @@ def _kernel_warp_images(
         & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
     )
     row = jnp.where(ok, ix, -1)
-    col = jnp.transpose(jnp.where(ok, iy, -1))
+    colr = jnp.where(ok, iy, -1)
 
     t_sec = t_ns / jnp.float32(1e9)
-    _windowed_splat(acc_t, acc_c, row, col, t_sec, HP, WP, fb=fb_ref)
+    _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb_ref)
 
 
 def padded_image_shape(H: int, W: int) -> Tuple[int, int]:
@@ -682,26 +660,35 @@ RH = 128   # window rows (multiple of 8; must hold a 32-row band at scale 3
 WC = 256   # window cols (multiple of 128)
 
 
-def _splat_window(acc_t, acc_c, row, col, ok, t0, w_hi, w_lo, r_lo, c_lo,
+def _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo, r_lo, c_lo,
                   rh: int, wc: int, HP: int, WP: int):
     """One chunk's one-hot contribution into acc[r_lo:+rh, c_lo:+wc]: three
     bf16 MXU passes (counts + hi/lo time weights).  The kernel is VPU-bound
     (one-hot construction), not MXU-bound, so the counts ride the SAME bf16
     one-hots as the time weights — still exact, since 0/1 products accumulate
     in f32 — rather than a separate int8 pair (saves two full-matrix casts).
-    The window offsets fold into the small per-event index vectors, not the
-    (rh, C)/(C, wc) iota matrices."""
-    rows_i = lax.broadcasted_iota(jnp.int32, (rh, row.shape[1]), 0)
-    cols_i = lax.broadcasted_iota(jnp.int32, (col.shape[0], wc), 1)
-    hit_r = rows_i == row - r_lo   # rejected events carry row == -1 < r_lo
-    hit_c = cols_i == col - c_lo
-    oh_r = hit_r.astype(jnp.bfloat16)
-    oh_c = hit_c.astype(jnp.bfloat16)
-    contrib_c = jnp.dot(oh_r, oh_c, preferred_element_type=jnp.float32)
+
+    Both index vectors arrive in ROW layout (1, C): the column one-hot is
+    built directly TRANSPOSED as (wc, C) and contracted with a transposed-rhs
+    dot_general, which the MXU handles natively.  The earlier (C, 1) column
+    layout forced 1-lane-wide vregs for the per-event column vector and a
+    Mosaic (1, C) -> (C, 1) transpose per chunk — both pure overhead.  The
+    window offsets fold into the small per-event index vectors, not the
+    (rh, C)/(wc, C) iota matrices."""
+    C = row.shape[1]
+    rows_i = lax.broadcasted_iota(jnp.int32, (rh, C), 0)
+    colsT_i = lax.broadcasted_iota(jnp.int32, (wc, C), 0)
+    oh_r = (rows_i == row - r_lo).astype(jnp.bfloat16)   # rejected: row == -1
+    oh_cT = (colsT_i == colr - c_lo).astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
+    contrib_c = lax.dot_general(oh_r, oh_cT, dn,
+                                preferred_element_type=jnp.float32)
     contrib_t = (
         t0 * contrib_c
-        + jnp.dot(oh_r * w_hi, oh_c, preferred_element_type=jnp.float32)
-        + jnp.dot(oh_r * w_lo, oh_c, preferred_element_type=jnp.float32)
+        + lax.dot_general(oh_r * w_hi, oh_cT, dn,
+                          preferred_element_type=jnp.float32)
+        + lax.dot_general(oh_r * w_lo, oh_cT, dn,
+                          preferred_element_type=jnp.float32)
     )
     if rh == HP and wc == WP:
         acc_t[:, :] += contrib_t
@@ -711,20 +698,21 @@ def _splat_window(acc_t, acc_c, row, col, ok, t0, w_hi, w_lo, r_lo, c_lo,
         acc_c[pl.ds(r_lo, rh), pl.ds(c_lo, wc)] += contrib_c
 
 
-def _windowed_splat(acc_t, acc_c, row, col, t_sec, HP: int, WP: int,
+def _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP: int, WP: int,
                     fb=None):
     """Shared window-placement + splat: picks an aligned (RH, WC) window from
     the chunk's accepted extent, falls back to the full joint on escape, and
     skips entirely when the chunk has no accepted events (padding tails).
 
-    ``row`` (1, C) / ``col`` (C, 1) hold scaled image indices with -1 for
-    rejected events.  ``fb`` (optional (1, 1) SMEM scratch) counts chunks
-    that took the full-joint fallback — the first-order cost driver."""
+    ``row`` / ``colr`` are (1, C) scaled image indices with -1 for rejected
+    events (both row layout — see _splat_window).  ``fb`` (optional (1, 1)
+    SMEM scratch) counts chunks that took the full-joint fallback — the
+    first-order cost driver."""
     big = jnp.int32(1 << 20)
     r_min = jnp.min(jnp.where(row >= 0, row, big))
-    c_min = jnp.min(jnp.where(col >= 0, col, big))
+    c_min = jnp.min(jnp.where(colr >= 0, colr, big))
     r_max = jnp.max(row)
-    c_max = jnp.max(col)
+    c_max = jnp.max(colr)
     r_lo = jnp.clip((r_min // 8) * 8, 0, HP - RH)
     c_lo = jnp.clip((c_min // 128) * 128, 0, WP - WC)
     r_lo = pl.multiple_of(r_lo, 8)
@@ -745,27 +733,26 @@ def _windowed_splat(acc_t, acc_c, row, col, t_sec, HP: int, WP: int,
 
     @pl.when(fits)
     def _windowed():
-        _splat_window(acc_t, acc_c, row, col, None, t0, w_hi, w_lo,
+        _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo,
                       r_lo, c_lo, RH, WC, HP, WP)
 
     @pl.when(row_only)
     def _row_band():
         if fb is not None:
             fb[0, 0] += jnp.float32(1)
-        _splat_window(acc_t, acc_c, row, col, None, t0, w_hi, w_lo,
+        _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo,
                       r_lo, 0, RH, WP, HP, WP)
 
     @pl.when(~row_fits & nonempty)
     def _full():
         if fb is not None:
             fb[0, 0] += jnp.float32(1)
-        _splat_window(acc_t, acc_c, row, col, None, t0, w_hi, w_lo,
+        _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo,
                       0, 0, HP, WP, HP, WP)
 
 
 def _kernel_windowed(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref,
-                     prx_c_ref, pry_c_ref, act_c_ref, out_ref,
-                     acc_t, acc_c, *, scale: int, HP: int, WP: int,
+                     out_ref, acc_t, acc_c, *, scale: int, HP: int, WP: int,
                      H: int, W: int):
     pid = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -797,16 +784,11 @@ def _kernel_windowed(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref,
     pry_r = pry_r_ref[0]
     t_sec = t_r_ref[0]
     act_r = act_r_ref[0]
-    ix_r, _, ok_r = accept(prx_r, pry_r, act_r)
-
-    prx_c = prx_c_ref[0]
-    pry_c = pry_c_ref[0]
-    act_c = act_c_ref[0]
-    _, iy_c, ok_c = accept(prx_c, pry_c, act_c)
+    ix_r, iy_r, ok_r = accept(prx_r, pry_r, act_r)
 
     row = jnp.where(ok_r, ix_r, -1)
-    col = jnp.where(ok_c, iy_c, -1)
-    _windowed_splat(acc_t, acc_c, row, col, t_sec, HP, WP)
+    colr = jnp.where(ok_r, iy_r, -1)
+    _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP)
 
     @pl.when(pid == n_prog - 1)
     def _finish():
@@ -846,18 +828,10 @@ def fused_model_partials_windowed(
             n_pad // CHUNK, 1, CHUNK
         )
 
-    def pad_col(a):
-        return jnp.pad(a.astype(jnp.float32), (0, n_pad - n)).reshape(
-            n_pad // CHUNK, CHUNK, 1
-        )
-
     prx_r = pad_row(pr_x)
     pry_r = pad_row(pr_y)
     t_r = pad_row(t_ns / jnp.float32(1e9))
     act_r = pad_row(active.astype(jnp.float32))
-    prx_c = pad_col(pr_x)
-    pry_c = pad_col(pr_y)
-    act_c = pad_col(active.astype(jnp.float32))
 
     scal = jnp.stack(
         [jnp.float32(x_sh), jnp.float32(y_sh),
@@ -878,11 +852,6 @@ def fused_model_partials_windowed(
             pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
-        ]
-        + [
-            pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(3)
         ],
         out_specs=pl.BlockSpec((1, 8), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -895,7 +864,7 @@ def fused_model_partials_windowed(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interp(),
-    )(scal, prx_r, pry_r, t_r, act_r, prx_c, pry_c, act_c)
+    )(scal, prx_r, pry_r, t_r, act_r)
 
     return {
         "cnt": out[0, 0],
@@ -906,3 +875,275 @@ def fused_model_partials_windowed(
         "s_rg": out[0, 5],
         "s_dg": out[0, 6],
     }
+
+
+# --------------------------------------------------------------------------
+# Megastep: the ENTIRE optimizer iteration — warp + windowed splat + finish
+# + the scalar model update (model_from_partials, the divider or secant
+# schedule, Kahan total accumulation, divider doubling) + the convergence
+# predicate — in ONE pallas_call.  The XLA while_loop body shrinks to a
+# single kernel launch and its cond to one SMEM scalar compare: on v5e the
+# XLA-composed scalar chain between kernel calls measured tens of us per
+# iteration (tools/bench_kernel.bench_probes "scalar-glue"), all of which
+# runs for free on the TPU scalar core inside the final grid step here.
+#
+# The per-iteration state rides an SMEM (1, 32) f32 vector:
+
+ST_TDX, ST_TDY, ST_TROT, ST_TDIV = 0, 1, 2, 3       # accumulated totals
+ST_CDX, ST_CDY, ST_CROT, ST_CDIV = 4, 5, 6, 7       # Kahan compensations
+ST_CX, ST_CY = 8, 9                                  # event-coord centroid
+ST_XDIV, ST_YDIV, ST_RDIV, ST_DDIV = 10, 11, 12, 13  # step dividers
+ST_PG = 14                                           # prev_g[4]: rot,div,dx,dy
+ST_PD = 18                                           # prev_d[4]: last deltas
+ST_ITERS = 22
+ST_CONT = 23                                         # while cond flag
+ST_DX, ST_DY, ST_ROT, ST_DIV = 24, 25, 26, 27        # last raw deltas
+ST_CNT = 28
+ST_FB = 29                                           # fallback chunks (cum.)
+
+
+def _kernel_megastep(
+    geo_ref, st_ref, stat_ref, act_ref, pr_ref, npr_ref, st_out_ref,
+    acc_t, acc_c, fb, *, scale: int, HP: int, WP: int, H: int, W: int,
+    schedule: str, rot_tol: float, div_tol: float, dx_tol: float,
+    dy_tol: float, xy_cap: float, rotdiv_cap: float, max_iter: int,
+    hard_cap: int,
+):
+    pid = pl.program_id(0)
+    n_prog = pl.num_programs(0)
+    half = scale // 2
+    f32 = jnp.float32
+
+    @pl.when(pid == 0)
+    def _init():
+        acc_t[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        acc_c[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        fb[0, 0] = f32(0)
+
+    x_sh = geo_ref[0, 0]
+    y_sh = geo_ref[0, 1]
+    wd = geo_ref[0, 2]
+    hd = geo_ref[0, 3]
+
+    # Warp scalars from the state (sign pattern of optimizer_rolling.h:340).
+    dnx_ = -st_ref[0, ST_TDX]
+    dny_ = -st_ref[0, ST_TDY]
+    crl = -st_ref[0, ST_TROT]
+    divp = st_ref[0, ST_TDIV]
+    cx = st_ref[0, ST_CX]
+    cy = st_ref[0, ST_CY]
+    cosv = jnp.cos(crl)
+    sinv = jnp.sin(crl)
+
+    stat = stat_ref[0]          # (3, CHUNK)
+    frx = stat[0:1]
+    fry = stat[1:2]
+    t_ns = stat[2:3]
+    act = act_ref[0]            # (1, CHUNK)
+    prb = pr_ref[0]             # (2, CHUNK)
+
+    prx, pry = _warp_chunk(
+        frx, fry, t_ns, prb[0:1], prb[1:2],
+        dnx_, dny_, cx, cy, divp, cosv, sinv,
+    )
+    npr_ref[0, 0:1] = prx
+    npr_ref[0, 1:2] = pry
+
+    fx = prx * f32(scale) + x_sh
+    fy = pry * f32(scale) + y_sh
+    ix = fx.astype(jnp.int32)   # trunc toward zero, like the C++ cast
+    iy = fy.astype(jnp.int32)
+    ok = (
+        (act > 0)
+        & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
+        & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
+    )
+    row = jnp.where(ok, ix, -1)
+    colr = jnp.where(ok, iy, -1)
+
+    t_sec = t_ns / f32(1e9)
+    _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb)
+
+    @pl.when(pid == n_prog - 1)
+    def _finish():
+        cnt, s_row, s_col, s_gx, s_gy, s_rg, s_dg = _finish_values(
+            acc_t, acc_c, scale, HP, WP, H, W
+        )
+        # model_from_partials (ops/reductions.py) on scalars.
+        denom = jnp.maximum(cnt, 1.0)
+        cx_img = s_row / denom
+        cy_img = s_col / denom
+        g_dx = s_gx / denom
+        g_dy = s_gy / denom
+        g_rot = (s_rg - cx_img * s_gy + cy_img * s_gx) / denom
+        g_div = (s_dg - cx_img * s_gx - cy_img * s_gy) / denom
+
+        iters = st_ref[0, ST_ITERS]
+        first = iters == 0
+        x_div = st_ref[0, ST_XDIV]
+        y_div = st_ref[0, ST_YDIV]
+        rot_div = st_ref[0, ST_RDIV]
+        div_div = st_ref[0, ST_DDIV]
+
+        # Reference step sizes (update_accumulators argument order:
+        # rot, div, x, y — object_model.h:48-53).
+        ref_rot = g_rot / rot_div
+        ref_div = g_div / div_div
+        ref_dx = g_dx / x_div
+        ref_dy = g_dy / y_div
+
+        if schedule == "fast":
+            # Safeguarded secant (models/global_flow._fast_loop): Newton on
+            # the root of each gradient component, falling back to the
+            # reference step, clamped to 4x it.  The first call always takes
+            # the reference step (it seeds the secant's slope pair).
+            def secant(g, pg, pd, ref):
+                slope = (g - pg) / pd
+                newton = -0.9 * g / slope
+                lim = 4.0 * jnp.abs(ref)
+                okp = (
+                    (~first) & (slope < 0) & jnp.isfinite(newton)
+                    & (jnp.abs(pd) > 0)
+                )
+                return jnp.where(okp, jnp.clip(newton, -lim, lim), ref)
+
+            d_rot = secant(g_rot, st_ref[0, ST_PG + 0], st_ref[0, ST_PD + 0], ref_rot)
+            d_div = secant(g_div, st_ref[0, ST_PG + 1], st_ref[0, ST_PD + 1], ref_div)
+            d_dx = secant(g_dx, st_ref[0, ST_PG + 2], st_ref[0, ST_PD + 2], ref_dx)
+            d_dy = secant(g_dy, st_ref[0, ST_PG + 3], st_ref[0, ST_PD + 3], ref_dy)
+        else:
+            d_rot, d_div, d_dx, d_dy = ref_rot, ref_div, ref_dx, ref_dy
+
+        # Kahan total += delta (core/model.add_totals).
+        def kadd(total, comp, delta):
+            y = delta - comp
+            t = total + y
+            return t, (t - total) - y
+
+        t_rot, c_rot = kadd(st_ref[0, ST_TROT], st_ref[0, ST_CROT], d_rot)
+        t_div, c_div = kadd(st_ref[0, ST_TDIV], st_ref[0, ST_CDIV], d_div)
+        t_dx, c_dx = kadd(st_ref[0, ST_TDX], st_ref[0, ST_CDX], d_dx)
+        t_dy, c_dy = kadd(st_ref[0, ST_TDY], st_ref[0, ST_CDY], d_dy)
+
+        # Divider doubling on sign flips vs the previous iteration's deltas
+        # (optimizer_rolling.h:98-101); no-op on the first call.
+        def dbl(div, g, pg):
+            return jnp.where((~first) & (g * pg < 0), div * 2.0, div)
+
+        x_div = dbl(x_div, g_dx, st_ref[0, ST_PG + 2])
+        y_div = dbl(y_div, g_dy, st_ref[0, ST_PG + 3])
+        rot_div = dbl(rot_div, g_rot, st_ref[0, ST_PG + 0])
+        div_div = dbl(div_div, g_div, st_ref[0, ST_PG + 1])
+
+        new_iters = iters + 1.0
+        over_max = (max_iter > 0) & (new_iters > max_iter)
+        under_cap = new_iters < hard_cap
+        if schedule == "fast":
+            small = (
+                (jnp.abs(d_rot) < rot_tol) & (jnp.abs(d_div) < div_tol)
+                & (jnp.abs(d_dx) < dx_tol) & (jnp.abs(d_dy) < dy_tol)
+            )
+            cont = (~small) & (~over_max) & under_cap
+        else:
+            dividers_open = (
+                (x_div < xy_cap) | (y_div < xy_cap)
+                | (rot_div < rotdiv_cap) | (div_div < rotdiv_cap)
+            )
+            small = (
+                (jnp.abs(g_dx / x_div) < dx_tol)
+                & (jnp.abs(g_dy / y_div) < dy_tol)
+                & (jnp.abs(g_rot / rot_div) < rot_tol)
+                & (jnp.abs(g_div / div_div) < div_tol)
+            )
+            cont = dividers_open & (~small) & (~over_max) & under_cap
+
+        # Centroid back to event coordinates (optimizer_rolling.h:330-331).
+        cx_ev = (cx_img - x_sh) / f32(scale)
+        cy_ev = (cy_img - y_sh) / f32(scale)
+
+        st_out_ref[0, ST_TDX] = t_dx
+        st_out_ref[0, ST_TDY] = t_dy
+        st_out_ref[0, ST_TROT] = t_rot
+        st_out_ref[0, ST_TDIV] = t_div
+        st_out_ref[0, ST_CDX] = c_dx
+        st_out_ref[0, ST_CDY] = c_dy
+        st_out_ref[0, ST_CROT] = c_rot
+        st_out_ref[0, ST_CDIV] = c_div
+        st_out_ref[0, ST_CX] = cx_ev
+        st_out_ref[0, ST_CY] = cy_ev
+        st_out_ref[0, ST_XDIV] = x_div
+        st_out_ref[0, ST_YDIV] = y_div
+        st_out_ref[0, ST_RDIV] = rot_div
+        st_out_ref[0, ST_DDIV] = div_div
+        st_out_ref[0, ST_PG + 0] = g_rot
+        st_out_ref[0, ST_PG + 1] = g_div
+        st_out_ref[0, ST_PG + 2] = g_dx
+        st_out_ref[0, ST_PG + 3] = g_dy
+        st_out_ref[0, ST_PD + 0] = d_rot
+        st_out_ref[0, ST_PD + 1] = d_div
+        st_out_ref[0, ST_PD + 2] = d_dx
+        st_out_ref[0, ST_PD + 3] = d_dy
+        st_out_ref[0, ST_ITERS] = new_iters
+        st_out_ref[0, ST_CONT] = jnp.where(cont, f32(1), f32(0))
+        st_out_ref[0, ST_DX] = g_dx
+        st_out_ref[0, ST_DY] = g_dy
+        st_out_ref[0, ST_ROT] = g_rot
+        st_out_ref[0, ST_DIV] = g_div
+        st_out_ref[0, ST_CNT] = cnt
+        st_out_ref[0, ST_FB] = st_ref[0, ST_FB] + fb[0, 0]
+        st_out_ref[0, 30] = f32(0)
+        st_out_ref[0, 31] = f32(0)
+
+
+def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
+                  schedule: str, rot_tol: float, div_tol: float,
+                  dx_tol: float, dy_tol: float, xy_cap: float,
+                  rotdiv_cap: float, max_iter: int, hard_cap: int):
+    """One full optimizer iteration as a single pallas_call.
+
+    ``st`` is the (1, 32) SMEM state vector (ST_* layout above), ``geo`` the
+    loop-invariant (1, 8) geometry [x_sh, y_sh, w_dyn, h_dyn, ...].  Returns
+    (new_pr, new_st).  Schedule/tolerance parameters are compile-time
+    constants (cfg is static under jit)."""
+    HP, WP = padded_image_shape(H, W)
+    n_chunks = stat.shape[0]
+    kern = functools.partial(
+        _kernel_megastep, scale=scale, HP=HP, WP=WP, H=H, W=W,
+        schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
+        dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
+        max_iter=max_iter, hard_cap=hard_cap,
+    )
+    npr, st_out = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, 2, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((1, 32), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((HP, WP), jnp.float32),
+            pltpu.VMEM((HP, WP), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(geo, st, stat, act, pr)
+    return npr, st_out

@@ -154,6 +154,51 @@ def test_rotdiv_flow_matches_reference(golden_rotdiv):
     assert occ_ours <= occ_ref * 1.15      # within 15% of the C++ sharpness
 
 
+@pytest.fixture(scope="module")
+def golden_noisy(tmp_path_factory):
+    """Sensor-realistic stream (threshold mismatch, refractory, BA noise,
+    hot pixels, bursty rate — io/dvs_sim.py) through the C++ binary.  Real
+    recordings cannot be fetched in this zero-egress environment
+    (bf_viewer.cpp:632-640 names the dataset family); this is the in-repo
+    stand-in with the same defect statistics."""
+    from better_flow_tpu.io.dvs_sim import dvs_events
+    from better_flow_tpu.io.event_file import write_events
+
+    tmp = tmp_path_factory.mktemp("golden_noisy")
+    d = dvs_events(80_000, duration_s=0.4, res_x=180, res_y=240,
+                   vx=60.0, vy=-40.0, rot=0.1, div=0.03, seed=11)
+    rec = str(tmp / "rec.txt")
+    write_events(rec, d["x"], d["y"], d["t_ns"], d["polarity"])
+    ref_out = str(tmp / "ref.txt")
+    subprocess.run(
+        [REF_BIN, rec, "-o", ref_out],
+        check=True, capture_output=True, timeout=600,
+    )
+    return {"rec": rec, "ref_out": ref_out, "events": d}
+
+
+def test_noisy_flow_matches_reference(golden_noisy):
+    """Parity holds on sensor-realistic data, not just clean streams: the
+    per-event flow must track the C++ binary through FPN, BA noise, and
+    bursty slice occupancy."""
+    from better_flow_tpu.config import PipelineConfig
+    from better_flow_tpu.io.event_file import read_events, read_events_uv
+    from better_flow_tpu.runtime.scan_pipeline import compensate_recording_scan
+
+    rec = read_events(golden_noisy["rec"])
+    ref = read_events_uv(golden_noisy["ref_out"])
+    out = compensate_recording_scan(rec["x"], rec["y"], rec["t_ns"],
+                                    PipelineConfig())
+    ok = ~out["noise"]
+    assert ok.sum() > 10_000
+    c_u = np.corrcoef(out["u"][ok], ref["u"][ok])[0, 1]
+    c_v = np.corrcoef(out["v"][ok], ref["v"][ok])[0, 1]
+    assert c_u > 0.97, c_u
+    assert c_v > 0.97, c_v
+    speed = np.hypot(ref["u"][ok], ref["v"][ok]).mean()
+    assert np.median(np.abs(out["u"][ok] - ref["u"][ok])) < 0.05 * speed
+
+
 def test_rotdiv_flow_f64_totals(golden_rotdiv):
     """With f64 warp totals (the reference's own accumulator precision,
     object_model.h:10-13) the chain tracks the C++ for longer: the early
