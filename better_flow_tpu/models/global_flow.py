@@ -51,6 +51,21 @@ def slice_geometry(
     axis_name=None,
 ) -> SliceGeometry:
     x_min, x_max, y_min, y_max = bounding_box(ev, axis_name=axis_name)
+    return geometry_from_bbox(x_min, x_max, y_min, y_max, scale, sensor,
+                              min_window_fraction)
+
+
+def geometry_from_bbox(
+    x_min, x_max, y_min, y_max, scale: int, sensor: SensorConfig,
+    min_window_fraction: int = 15,
+) -> SliceGeometry:
+    """Window geometry from a known integer bbox — the host already touches
+    every event while slicing, so scan pipelines precompute the bbox there
+    and skip four per-slice masked reductions on device."""
+    x_min = jnp.asarray(x_min, jnp.int32)
+    x_max = jnp.asarray(x_max, jnp.int32)
+    y_min = jnp.asarray(y_min, jnp.int32)
+    y_max = jnp.asarray(y_max, jnp.int32)
     wx = scale * (x_max - x_min)
     wy = scale * (y_max - y_min)
     # x_shift = -((x_max-x_min)/2 + x_min)*scale + wx/2.0 + scale/2, with the
@@ -109,6 +124,10 @@ class SliceResult(NamedTuple):
     # the only per-slice noise SOURCE (optimizer_rolling.h:52-54), so slice
     # runtimes can reconstruct noise flags from this scalar history instead
     # of carrying a per-event global array (see scan_pipeline._scan_body)
+    seed: jnp.ndarray       # (8,) f32 [prev_g[4], prev_d[4]] at loop exit:
+    # the secant schedule's slope pair, carried across slices by the scan so
+    # a warm-started slice's FIRST step is already curvature-sized instead
+    # of a full divider-1 gradient step (zeros for the reference schedule)
 
 
 def _iteration_step(
@@ -261,7 +280,7 @@ def _totals4(m: MotionModel):
     return jnp.stack([m.total_rot, m.total_div, m.total_dx, m.total_dy])
 
 
-def _fast_loop(init, step_fn, cfg: OptimizerConfig):
+def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
     """Fast step-size schedule (OptimizerConfig.schedule == "fast").
 
     Same gradient signal and convergence tolerances as the reference
@@ -274,7 +293,14 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig):
     roughly 1/3 the iterations of the divider bisection on typical scenes.
 
     ``step_fn(state, update_fn)`` must apply ``update_fn(model, state) ->
-    model`` in place of update_accumulators."""
+    model`` in place of update_accumulators.
+
+    ``seed`` (optional (8,) f32 [prev_g[4], prev_d[4]]) warm-starts the
+    secant's slope pair from the previous slice's loop exit: with a valid
+    seed the FIRST step is already curvature-sized instead of the full
+    divider-1 gradient step.  Components with prev_d == 0 (including the
+    whole unseeded first call) take the reference step — so seed=None
+    reproduces the original schedule exactly."""
     state = init._replace(
         x_div=jnp.float32(cfg.init_xy_divider),
         y_div=jnp.float32(cfg.init_xy_divider),
@@ -282,13 +308,12 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig):
         div_div=jnp.float32(cfg.init_rotdiv_divider),
         iters=jnp.int32(0),
     )
-    # Unconditional first step with the reference update: it seeds the
-    # (gradient, applied-step) pair the secant needs.
-    tot0 = _totals4(state.model)
-    state = step_fn(state, None)
-    m = state.model
-    prev_g = jnp.stack([m.rot, m.div, m.dx, m.dy])
-    prev_d = _totals4(m) - tot0
+    if seed is None:
+        prev_g0 = jnp.zeros(4, jnp.float32)
+        prev_d0 = jnp.zeros(4, jnp.float32)
+    else:
+        prev_g0 = seed[:4]
+        prev_d0 = seed[4:]
 
     tol = jnp.array(
         [cfg.rot_tol, cfg.div_tol, cfg.dx_tol, cfg.dy_tol], jnp.float32
@@ -297,6 +322,11 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig):
     def cond(carry):
         s, _, prev_d = carry
         small = jnp.all(jnp.abs(prev_d) < tol)
+        # A seeded first step can look converged against a STALE cross-slice
+        # slope; always refresh the slope pair in-slice once before allowing
+        # the exit test (costs nothing unseeded: step 1 is the full
+        # reference step and essentially never passes the tolerance).
+        small = small & (s.iters >= 2)
         over_max = (cfg.max_iter > 0) & (s.iters > cfg.max_iter)
         return ~small & ~over_max & (s.iters < cfg.iter_hard_cap)
 
@@ -318,7 +348,6 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig):
             delta = jnp.where(ok, jnp.clip(newton, -lim, lim), ref)
             return model.add_totals(delta[0], delta[1], delta[2], delta[3])
 
-        old = (s.model.dx, s.model.dy, s.model.rot, s.model.div)
         tot_before = _totals4(s.model)
         s = step_fn(s, update)
         m = s.model
@@ -326,23 +355,35 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig):
         d = _totals4(m) - tot_before
         # Keep the reference's divider doubling so the FALLBACK step keeps
         # shrinking on oscillation (it is also the secant's clamp scale).
+        # Gated per component on a real previous step (|prev_d| > 0), which
+        # on the unseeded first call reproduces the original no-doubling.
+        def dbl(div, new, old_g, gate):
+            return jnp.where(gate & (new * old_g < 0), div * 2, div)
+
+        pdg = jnp.abs(prev_d) > 0
         s = s._replace(
-            x_div=jnp.where(m.dx * old[0] < 0, s.x_div * 2, s.x_div),
-            y_div=jnp.where(m.dy * old[1] < 0, s.y_div * 2, s.y_div),
-            rot_div=jnp.where(m.rot * old[2] < 0, s.rot_div * 2, s.rot_div),
-            div_div=jnp.where(m.div * old[3] < 0, s.div_div * 2, s.div_div),
+            x_div=dbl(s.x_div, m.dx, prev_g[2], pdg[2]),
+            y_div=dbl(s.y_div, m.dy, prev_g[3], pdg[3]),
+            rot_div=dbl(s.rot_div, m.rot, prev_g[0], pdg[0]),
+            div_div=dbl(s.div_div, m.div, prev_g[1], pdg[1]),
         )
         return (s, g, d)
 
-    final, _, _ = lax.while_loop(cond, body, (state, prev_g, prev_d))
-    return final
+    # Unconditional first step (same body: an unseeded/zero prev_d routes
+    # every component to the reference step, as the original schedule did).
+    carry = body((state, prev_g0, prev_d0))
+    final, g, d = lax.while_loop(cond, body, carry)
+    return final, jnp.concatenate([g, d])
 
 
-def _drive_loop(init, step_fn, cfg: OptimizerConfig):
-    """Dispatch on the configured schedule.  ``step_fn(state, update_fn)``."""
+def _drive_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
+    """Dispatch on the configured schedule.  ``step_fn(state, update_fn)``.
+    Returns (final_state, seed_out) where seed_out is the secant slope pair
+    at exit ((8,) zeros for the reference schedule)."""
     if cfg.schedule == "fast":
-        return _fast_loop(init, step_fn, cfg)
-    return _adaptive_loop(init, lambda s: step_fn(s, None), cfg)
+        return _fast_loop(init, step_fn, cfg, seed=seed)
+    return (_adaptive_loop(init, lambda s: step_fn(s, None), cfg),
+            jnp.zeros(8, jnp.float32))
 
 
 def _run_optimizer(
@@ -354,11 +395,13 @@ def _run_optimizer(
     W: int,
     cfg: OptimizerConfig,
     axis_name=None,
-) -> GlobalFlowState:
-    """The XLA-composed optimizer loop (CPU / sharded paths)."""
+    seed=None,
+):
+    """The XLA-composed optimizer loop (CPU / sharded paths).  Returns
+    (final_state, seed_out)."""
     step = lambda s, u: _iteration_step(s, ev, geom, scale, H, W, axis_name,
                                         cfg.scatter_mode, update_fn=u)
-    return _drive_loop(init, step, cfg)
+    return _drive_loop(init, step, cfg, seed=seed)
 
 
 class FusedFlowState(NamedTuple):
@@ -376,7 +419,7 @@ class FusedFlowState(NamedTuple):
 
 
 def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
-               stat3=None, axis_name=None):
+               stat3=None, axis_name=None, seed=None):
     """Production TPU path: one pallas_call per iteration (in-kernel 4-param
     re-warp + windowed MXU splat + finish), scalar model math between calls.
 
@@ -421,7 +464,8 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     # seam below; custom carriers (f64 totals) keep the composed scalars.
     if (axis_name is None and cfg.schedule in ("reference", "fast")
             and model0.total_dx.dtype == jnp.float32):
-        return _run_fused_mega(ev, geom, model0, cfg, scale, H, W, stat, act)
+        return _run_fused_mega(ev, geom, model0, cfg, scale, H, W, stat,
+                               act, seed=seed)
 
     def step(s: FusedFlowState, update_fn=None) -> FusedFlowState:
         m = s.model
@@ -461,7 +505,7 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         rot_div=jnp.float32(1), div_div=jnp.float32(1),
         iters=jnp.int32(0),
     )
-    final = _drive_loop(init, step, cfg)
+    final, seed_out = _drive_loop(init, step, cfg, seed=seed)
 
     cap = ev.x.shape[0]
     pr_prev_x = final.pr[:, 0].reshape(-1)[:cap]
@@ -471,11 +515,11 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         ev.x, ev.y, ev.t, pr_prev_x, pr_prev_y,
         -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
     )
-    return m, pr_x, pr_y, nx, ny, final.iters
+    return m, pr_x, pr_y, nx, ny, final.iters, seed_out
 
 
 def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
-                    stat, act):
+                    stat, act, seed=None):
     """Megastep driver: while_loop whose body is one pallas_call carrying an
     SMEM (1, 32) scalar state (ops/pallas/fused_model.ST_* layout) plus the
     chunked positions; cond reads the kernel-computed continue flag.  The
@@ -510,6 +554,12 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     vals[ST_RDIV] = jnp.float32(cfg.init_rotdiv_divider)
     vals[ST_DDIV] = jnp.float32(cfg.init_rotdiv_divider)
     vals[ST_CNT] = model0.cnt
+    if seed is not None and cfg.schedule == "fast":
+        from better_flow_tpu.ops.pallas.fused_model import ST_PD, ST_PG
+
+        for k in range(4):
+            vals[ST_PG + k] = seed[k]
+            vals[ST_PD + k] = seed[4 + k]
     st0 = jnp.stack(vals).reshape(1, 32)
 
     def body(carry):
@@ -536,6 +586,11 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         comp_rot=st[0, ST_CROT], comp_div=st[0, ST_CDIV],
     )
     iters = st[0, ST_ITERS].astype(jnp.int32)
+    from better_flow_tpu.ops.pallas.fused_model import ST_PD, ST_PG
+
+    seed_out = jnp.concatenate(
+        [st[0, ST_PG:ST_PG + 4], st[0, ST_PD:ST_PD + 4]]
+    )
 
     cap = ev.x.shape[0]
     pr_prev_x = pr[:, 0].reshape(-1)[:cap]
@@ -544,7 +599,7 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         ev.x, ev.y, ev.t, pr_prev_x, pr_prev_y,
         -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
     )
-    return m, pr_x, pr_y, nx, ny, iters
+    return m, pr_x, pr_y, nx, ny, iters, seed_out
 
 
 def process_slice(
@@ -556,6 +611,9 @@ def process_slice(
     axis_name=None,
     presorted: bool = False,
     stat3=None,
+    seed=None,
+    bbox=None,
+    n_valid=None,
 ) -> SliceResult:
     """Process one slice end to end — jit over static (capacity, scale, res).
 
@@ -589,13 +647,23 @@ def process_slice(
         )
         ev = EventSlice(*(jnp.take(f, order, axis=0) for f in ev))
 
-    geom = slice_geometry(ev, scale, sensor, cfg.min_window_fraction, axis_name)
+    if bbox is not None:
+        # Host-precomputed bbox (order-independent; the window is a
+        # contiguous range of the recording): skips four masked reductions.
+        geom = geometry_from_bbox(bbox[0], bbox[1], bbox[2], bbox[3],
+                                  scale, sensor, cfg.min_window_fraction)
+    else:
+        geom = slice_geometry(ev, scale, sensor, cfg.min_window_fraction,
+                              axis_name)
 
     model = last_model if warm_start else MotionModel.zero()
 
-    n_events = jnp.sum(ev.valid.astype(jnp.int32))
-    if axis_name is not None:
-        n_events = lax.psum(n_events, axis_name)
+    if n_valid is not None:
+        n_events = jnp.asarray(n_valid, jnp.int32)
+    else:
+        n_events = jnp.sum(ev.valid.astype(jnp.int32))
+        if axis_name is not None:
+            n_events = lax.psum(n_events, axis_name)
     too_few = n_events < cfg.min_events  # optimizer_rolling.h:57
     ran = ~geom.window_small & ~too_few
 
@@ -610,13 +678,14 @@ def process_slice(
                 -model.total_dx, -model.total_dy, model.cx, model.cy,
                 model.total_div, -model.total_rot,
             )
-            return model, pr_x, pr_y, nx, ny, jnp.int32(0)
+            return (model, pr_x, pr_y, nx, ny, jnp.int32(0),
+                    jnp.zeros(8, jnp.float32))
 
-        final_model, pr_x, pr_y, nx, ny, iters = lax.cond(
+        final_model, pr_x, pr_y, nx, ny, iters, seed_out = lax.cond(
             ran,
             lambda _: _run_fused(ev, geom, model, cfg, scale, H, W,
                                  stat3=stat3 if presorted else None,
-                                 axis_name=axis_name),
+                                 axis_name=axis_name, seed=seed),
             _skip,
             0,
         )
@@ -636,10 +705,11 @@ def process_slice(
             rot_div=jnp.float32(1), div_div=jnp.float32(1),
             iters=jnp.int32(0),
         )
-        final = lax.cond(
+        final, seed_out = lax.cond(
             ran,
-            lambda s: _run_optimizer(s, ev, geom, scale, H, W, cfg, axis_name),
-            lambda s: s,
+            lambda s: _run_optimizer(s, ev, geom, scale, H, W, cfg,
+                                     axis_name, seed=seed),
+            lambda s: (s, jnp.zeros(8, jnp.float32)),
             init,
         )
         final_model = final.model
@@ -667,6 +737,7 @@ def process_slice(
         iters=iters,
         ran=ran,
         window_small=geom.window_small,
+        seed=seed_out,
     )
 
 

@@ -130,20 +130,21 @@ def _finish_values(acc_t, acc_c, scale: int, HP: int, WP: int,
     (_kernel_megastep)."""
     half = scale // 2
     if True:
-        def box(acc):
-            # separable: row pass then column pass (fewer live temporaries)
-            a = acc[:, :]
-            r = a
+        # Box filter on the two accumulators COLUMN-STACKED into one
+        # (HP, 2*WP) array: half the roll/add passes.  The circular wrap at
+        # the seam (col WP-1 <-> WP) and the outer edges only mixes
+        # guard-ring columns that are zero in both halves (the scatter never
+        # writes at rows >= H or cols >= W, and W + half <= WP - 1).
+        if scale > 1:
+            B = jnp.concatenate([acc_t[:, :], acc_c[:, :]], axis=1)
+            r = B
             for dr in range(1, half + 1):
-                r = r + _roll(a, -dr, 0) + _roll(a, dr, 0)
+                r = r + _roll(B, -dr, 0) + _roll(B, dr, 0)
             out = r
             for dc in range(1, half + 1):
                 out = out + _roll(r, -dc, 1) + _roll(r, dc, 1)
-            return out
-
-        if scale > 1:
-            t_box = box(acc_t)
-            c_box = box(acc_c)
+            t_box = out[:, :WP]
+            c_box = out[:, WP:]
         else:
             t_box = acc_t[:, :]
             c_box = acc_c[:, :]
@@ -153,18 +154,12 @@ def _finish_values(acc_t, acc_c, scale: int, HP: int, WP: int,
         # pltpu.roll is circular: padding rows/cols pick up wrapped garbage
         # from the box filter.  Masking the normalized image to the logical
         # region restores exact zero-padding semantics for the Scharr phase
-        # (the scatter itself never writes at rows >= H or cols >= W, so
-        # wraps INTO the valid region are zeros).
-        rr_i = lax.broadcasted_iota(jnp.int32, (HP, WP), 0)
-        cc_i = lax.broadcasted_iota(jnp.int32, (HP, WP), 1)
-        valid = (rr_i < H) & (cc_i < W)
-        img = jnp.where(valid, img, 0.0)
+        # (broadcast 1-D iotas; wraps INTO the valid region are zeros).
+        rr_i = lax.broadcasted_iota(jnp.int32, (HP, 1), 0)
+        cc_i = lax.broadcasted_iota(jnp.int32, (1, WP), 1)
+        img = jnp.where((rr_i < H) & (cc_i < W), img, 0.0)
 
         eps = jnp.float32(NONZERO_EPS)
-        # all-nine mask and Scharr via rolls (guard ring keeps wraps zero)
-        def sh(a, dr, dc):
-            return _roll(_roll(a, -dr, 0), -dc, 1)
-
         # separable forms: Kx = [1,0,-1]_rows (x) [3,10,3]_cols,
         # Ky = [3,10,3]_rows (x) [1,0,-1]_cols; all-nine = rowAND o colAND.
         # boolean rolls are unsupported (Mosaic: 32-bit rotate only), so the
@@ -178,29 +173,31 @@ def _finish_values(acc_t, acc_c, scale: int, HP: int, WP: int,
         gx = _roll(col_smooth, 1, 0) - _roll(col_smooth, -1, 0)
         row_smooth = 3.0 * _roll(img, 1, 0) + 10.0 * img + 3.0 * _roll(img, -1, 0)
         gy = _roll(row_smooth, 1, 1) - _roll(row_smooth, -1, 1)
-        gx = jnp.where(allnine, gx, 0.0)
-        gy = jnp.where(allnine, gy, 0.0)
+        # The all-nine mask implies the center-nonzero mask (m), so the
+        # masked gradients ARE the model reduction integrands: no extra
+        # gx*m / gy*m passes (ObjectModel::compute sums gx over img > eps
+        # pixels, and gx is zero unless all nine neighbors are nonzero).
+        gxm = jnp.where(allnine, gx, 0.0)
+        gym = jnp.where(allnine, gy, 0.0)
 
-        # reductions via per-axis sums (avoids full-size iota temporaries)
-        m = nz.astype(jnp.float32)
+        # Every model sum derives from ROW and COLUMN partial sums of
+        # (m, gxm, gym): 6 axis reductions instead of 9 full-array ones.
+        m = nzf
         row_i = lax.broadcasted_iota(jnp.int32, (HP, 1), 0).astype(jnp.float32)
         col_i = lax.broadcasted_iota(jnp.int32, (1, WP), 1).astype(jnp.float32)
-
-        gxm = gx * m
-        gym = gy * m
-        cnt = jnp.sum(m)
-        s_row = jnp.sum(jnp.sum(m, 1, keepdims=True) * row_i)
-        s_col = jnp.sum(jnp.sum(m, 0, keepdims=True) * col_i)
-        s_gx = jnp.sum(gxm)
-        s_gy = jnp.sum(gym)
-        s_rg = (
-            jnp.sum(jnp.sum(gym, 1, keepdims=True) * row_i)
-            - jnp.sum(jnp.sum(gxm, 0, keepdims=True) * col_i)
-        )
-        s_dg = (
-            jnp.sum(jnp.sum(gxm, 1, keepdims=True) * row_i)
-            + jnp.sum(jnp.sum(gym, 0, keepdims=True) * col_i)
-        )
+        rs_m = jnp.sum(m, 1, keepdims=True)      # (HP, 1)
+        cs_m = jnp.sum(m, 0, keepdims=True)      # (1, WP)
+        rs_gx = jnp.sum(gxm, 1, keepdims=True)
+        cs_gx = jnp.sum(gxm, 0, keepdims=True)
+        rs_gy = jnp.sum(gym, 1, keepdims=True)
+        cs_gy = jnp.sum(gym, 0, keepdims=True)
+        cnt = jnp.sum(rs_m)
+        s_row = jnp.sum(rs_m * row_i)
+        s_col = jnp.sum(cs_m * col_i)
+        s_gx = jnp.sum(rs_gx)
+        s_gy = jnp.sum(rs_gy)
+        s_rg = jnp.sum(rs_gy * row_i) - jnp.sum(cs_gx * col_i)
+        s_dg = jnp.sum(rs_gx * row_i) + jnp.sum(cs_gy * col_i)
         return cnt, s_row, s_col, s_gx, s_gy, s_rg, s_dg
 
 
@@ -979,7 +976,6 @@ def _kernel_megastep(
         g_div = (s_dg - cx_img * s_gx - cy_img * s_gy) / denom
 
         iters = st_ref[0, ST_ITERS]
-        first = iters == 0
         x_div = st_ref[0, ST_XDIV]
         y_div = st_ref[0, ST_YDIV]
         rot_div = st_ref[0, ST_RDIV]
@@ -998,12 +994,14 @@ def _kernel_megastep(
             # reference step, clamped to 4x it.  The first call always takes
             # the reference step (it seeds the secant's slope pair).
             def secant(g, pg, pd, ref):
+                # pd == 0 (unseeded first call) routes to the reference
+                # step; a cross-slice seed (st carries the previous slice's
+                # slope pair) makes even the first step curvature-sized.
                 slope = (g - pg) / pd
                 newton = -0.9 * g / slope
                 lim = 4.0 * jnp.abs(ref)
                 okp = (
-                    (~first) & (slope < 0) & jnp.isfinite(newton)
-                    & (jnp.abs(pd) > 0)
+                    (slope < 0) & jnp.isfinite(newton) & (jnp.abs(pd) > 0)
                 )
                 return jnp.where(okp, jnp.clip(newton, -lim, lim), ref)
 
@@ -1026,14 +1024,18 @@ def _kernel_megastep(
         t_dy, c_dy = kadd(st_ref[0, ST_TDY], st_ref[0, ST_CDY], d_dy)
 
         # Divider doubling on sign flips vs the previous iteration's deltas
-        # (optimizer_rolling.h:98-101); no-op on the first call.
-        def dbl(div, g, pg):
-            return jnp.where((~first) & (g * pg < 0), div * 2.0, div)
+        # (optimizer_rolling.h:98-101); gated per component on a real
+        # previous step (|prev_d| > 0 — no-op on the unseeded first call).
+        def dbl(div, g, k):
+            gate = (jnp.abs(st_ref[0, ST_PD + k]) > 0) & (
+                g * st_ref[0, ST_PG + k] < 0
+            )
+            return jnp.where(gate, div * 2.0, div)
 
-        x_div = dbl(x_div, g_dx, st_ref[0, ST_PG + 2])
-        y_div = dbl(y_div, g_dy, st_ref[0, ST_PG + 3])
-        rot_div = dbl(rot_div, g_rot, st_ref[0, ST_PG + 0])
-        div_div = dbl(div_div, g_div, st_ref[0, ST_PG + 1])
+        x_div = dbl(x_div, g_dx, 2)
+        y_div = dbl(y_div, g_dy, 3)
+        rot_div = dbl(rot_div, g_rot, 0)
+        div_div = dbl(div_div, g_div, 1)
 
         new_iters = iters + 1.0
         over_max = (max_iter > 0) & (new_iters > max_iter)
@@ -1042,7 +1044,7 @@ def _kernel_megastep(
             small = (
                 (jnp.abs(d_rot) < rot_tol) & (jnp.abs(d_div) < div_tol)
                 & (jnp.abs(d_dx) < dx_tol) & (jnp.abs(d_dy) < dy_tol)
-            )
+            ) & (new_iters >= 2)   # refresh the slope in-slice before exit
             cont = (~small) & (~over_max) & under_cap
         else:
             dividers_open = (

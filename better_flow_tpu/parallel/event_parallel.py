@@ -59,7 +59,7 @@ def process_slice_event_parallel(
         model=model_spec,
         pr_x=P(AXIS), pr_y=P(AXIS), nx=P(AXIS), ny=P(AXIS),
         u=P(AXIS), v=P(AXIS), noise=P(AXIS),
-        iters=P(), ran=P(), window_small=P(),
+        iters=P(), ran=P(), window_small=P(), seed=P(),
     )
 
     fn = jax.shard_map(
@@ -92,8 +92,8 @@ def jit_event_parallel(cfg, sensor, mesh, warm_start=True):
 
 
 @partial(jax.jit, static_argnames=("cfg", "hist_k", "mesh"))
-def _sharded_scan(xs, ys, ts, idx, starts, ends, model0, cfg, hist_k,
-                  mesh: Mesh):
+def _sharded_scan(xs, ys, ts, idx, starts, ends, bbox, nval, model0, cfg,
+                  hist_k, mesh: Mesh):
     """One compiled program: the slice scan with every slice's event slab
     sharded over mesh axis 'ev'.  The shard-local body is the SAME scan
     driver as the single-device path (scan_pipeline._run_scan) with
@@ -108,13 +108,14 @@ def _sharded_scan(xs, ys, ts, idx, starts, ends, model0, cfg, hist_k,
         body,
         mesh=mesh,
         in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
-                  P(None, AXIS), P(None), P(None), model_spec),
+                  P(None, AXIS), P(None), P(None), P(None), P(None),
+                  model_spec),
         out_specs=(model_spec,
                    (P(None, AXIS), P(None, AXIS), P(None, AXIS),
                     P(None), P(None)),
                    P()),
         check_vma=False,
-    )(xs, ys, ts, idx, starts, ends, model0)
+    )(xs, ys, ts, idx, starts, ends, bbox, nval, model0)
 
 
 def prepare_recording_sharded(x, y, t_ns, cfg, n_dev: int):
@@ -151,8 +152,12 @@ def prepare_recording_sharded(x, y, t_ns, cfg, n_dev: int):
         idx = np.pad(idx, padc, constant_values=-1)
     first_overlap = np.searchsorted(plan.ends, plan.starts)
     hist_k = max(1, int(np.max(np.arange(S) - first_overlap, initial=1)))
+    from better_flow_tpu.runtime.scan_pipeline import host_bbox
+
+    bbox, lens = host_bbox(x, y, plan)
     return {
         "plan": plan, "n": len(x), "hist_k": hist_k, "idx_host": idx,
+        "bbox": jnp.asarray(bbox), "nval": jnp.asarray(lens),
         "xs": jnp.asarray(xs), "ys": jnp.asarray(ys), "ts": jnp.asarray(ts),
         "idx": jnp.asarray(idx),
         "starts": jnp.asarray(plan.starts.astype(np.int32)),
@@ -195,7 +200,8 @@ def compensate_recording_scan_sharded(
     t0 = _time.perf_counter()
     final_model, (u, v, noise_s, iters, ran), chk = _sharded_scan(
         prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
-        prepared["starts"], prepared["ends"], model0, cfg,
+        prepared["starts"], prepared["ends"],
+        prepared["bbox"], prepared["nval"], model0, cfg,
         prepared["hist_k"], mesh,
     )
     float(np.asarray(chk))  # host fetch: forces true completion

@@ -55,6 +55,7 @@ def process_slices_batch(
         u=P(AX_SLICE, AX_EV), v=P(AX_SLICE, AX_EV),
         noise=P(AX_SLICE, AX_EV),
         iters=P(AX_SLICE), ran=P(AX_SLICE), window_small=P(AX_SLICE),
+        seed=P(AX_SLICE),
     )
     fn = jax.jit(
         jax.shard_map(

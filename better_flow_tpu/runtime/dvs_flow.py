@@ -54,6 +54,7 @@ class DVSFlow:
         self.last_model = MotionModel.zero(
             _jnp.float64 if cfg.f64_totals else _jnp.float32
         )
+        self.last_seed = _jnp.zeros(8, _jnp.float32)
         # Trigger state (dvs_flow.h:30-36).
         self.event_diff = 0
         self.time_diff = 0
@@ -155,6 +156,12 @@ class DVSFlow:
             ),
         )
 
+        if n > 0:
+            bbox = jnp.asarray([int(snap["x"].min()), int(snap["x"].max()),
+                                int(snap["y"].min()), int(snap["y"].max())],
+                               jnp.int32)
+        else:
+            bbox = jnp.zeros(4, jnp.int32)
         res = self._jit(
             ev,
             self.last_model,
@@ -162,12 +169,16 @@ class DVSFlow:
             self.cfg.sensor,
             warm_start=not self.cfg.stm_disable,
             presorted=True,
+            seed=self.last_seed,
+            bbox=bbox,
+            n_valid=jnp.int32(n),
         )
 
         # last_model = optimizer.get_model() (dvs_flow.h:224).  When stm is
         # disabled the optimizer started from zero; its result still becomes
         # the stored model, matching the C++ (set_model simply not called).
         self.last_model = jax.tree_util.tree_map(jnp.asarray, res.model)
+        self.last_seed = jnp.asarray(res.seed)
 
         # invert the spatial sort so writebacks land on the right events
         noise = np.asarray(res.noise)[:n][inv]

@@ -90,6 +90,24 @@ def plan_slices(t_ns: np.ndarray, cfg: PipelineConfig) -> SlicePlan:
     return SlicePlan(starts=starts, ends=ends, slice_start_ns=slice_start)
 
 
+def host_bbox(x, y, plan: SlicePlan):
+    """Per-slice integer bbox [S, 4] (x_min, x_max, y_min, y_max) and valid
+    count [S] from the original chronological window — what
+    OptimizerRolling::set_cloud scans per slice (optimizer_rolling.h:252-261).
+    The host already touches every event; 4 numpy reductions over each
+    <=cap-long window beat four masked 61k-element reductions per slice on
+    device (plus a psum on sharded meshes)."""
+    S = len(plan.ends)
+    bbox = np.zeros((S, 4), np.int32)
+    for s in range(S):
+        a, b = int(plan.starts[s]), int(plan.ends[s]) + 1
+        xw = x[a:b]
+        yw = y[a:b]
+        bbox[s] = (int(xw.min()), int(xw.max()), int(yw.min()), int(yw.max()))
+    lens = (plan.ends - plan.starts + 1).astype(np.int32)
+    return bbox, lens
+
+
 def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
                        spatial_sort: bool = True, band_rows: int = 32,
                        band_pad: bool = False, res_x: int = 0,
@@ -179,7 +197,7 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
 PERM_SENTINEL = np.uint16(0xFFFF)
 
 
-def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
+def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, init_model,
               cfg: PipelineConfig, hist_k: int, axis_name=None):
     """Shared scan driver over reconstructed slice slabs.
 
@@ -219,9 +237,9 @@ def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
         stat3_all = None
 
     def step(carry, inputs):
-        model, ws_h, st_h, en_h = carry
-        sx, sy, st, sidx, start, end = inputs[:6]
-        stat3 = inputs[6] if len(inputs) > 6 else None
+        model, sd, ws_h, st_h, en_h = carry
+        sx, sy, st, sidx, start, end, bb, nv = inputs[:8]
+        stat3 = inputs[8] if len(inputs) > 8 else None
         # Validity by original index, not prefix: band-padded layouts
         # interleave padding inside the slice (materialize_slices).
         valid = sidx >= 0
@@ -229,23 +247,27 @@ def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
         for j in range(hist_k):
             noise |= ws_h[j] & (sidx >= st_h[j]) & (sidx <= en_h[j])
         ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise & valid)
-        # slices were spatially pre-sorted on the host (materialize_slices)
+        # slices were spatially pre-sorted on the host (materialize_slices);
+        # ``sd`` carries the secant slope pair across slices (fast schedule
+        # only — the reference schedule returns and ignores zeros).
         res = process_slice(ev, model, opt, sensor, warm_start=warm,
                             presorted=True, stat3=stat3,
-                            axis_name=axis_name)
+                            axis_name=axis_name, seed=sd,
+                            bbox=bb, n_valid=nv)
         ws_h = jnp.concatenate([ws_h[1:], res.window_small[None]])
         st_h = jnp.concatenate([st_h[1:], start[None]])
         en_h = jnp.concatenate([en_h[1:], end[None]])
         out = (res.u, res.v, res.noise, res.iters, res.ran)
-        return (res.model, ws_h, st_h, en_h), out
+        return (res.model, res.seed, ws_h, st_h, en_h), out
 
     carry0 = (
         init_model,
+        jnp.zeros(8, jnp.float32),
         jnp.zeros((hist_k,), bool),
         jnp.zeros((hist_k,), jnp.int32),
         jnp.full((hist_k,), -1, jnp.int32),
     )
-    scan_inputs = (xs, ys, ts, idx, starts, ends)
+    scan_inputs = (xs, ys, ts, idx, starts, ends, bbox, nval)
     if stat3_all is not None:
         scan_inputs = scan_inputs + (stat3_all,)
     (final_model, *_), outs = lax.scan(step, carry0, scan_inputs)
@@ -262,18 +284,19 @@ def _run_scan(xs, ys, ts, idx, starts, ends, init_model,
     jax.jit,
     static_argnames=("cfg", "hist_k"),
 )
-def _scan_slices(xs, ys, ts, idx, starts, ends, init_model,
+def _scan_slices(xs, ys, ts, idx, starts, ends, bbox, nval, init_model,
                  cfg: PipelineConfig, hist_k: int):
     """One compiled program over all slices (full f32/i32 slab inputs)."""
-    return _run_scan(xs, ys, ts, idx, starts, ends, init_model, cfg, hist_k)
+    return _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, init_model,
+                     cfg, hist_k)
 
 
 @partial(
     jax.jit,
     static_argnames=("cfg", "hist_k"),
 )
-def _scan_slices_compact(xs16, ys16, ts, perm, starts, ends, init_model,
-                         cfg: PipelineConfig, hist_k: int):
+def _scan_slices_compact(xs16, ys16, ts, perm, starts, ends, bbox, nval,
+                         init_model, cfg: PipelineConfig, hist_k: int):
     """Compact-transfer variant: the coordinate slabs ride as u16 and the
     original-index slab as a u16 in-slice offset (original index =
     starts[s] + perm, 0xFFFF = padding) — 10 B/slot instead of 16 across
@@ -286,7 +309,8 @@ def _scan_slices_compact(xs16, ys16, ts, perm, starts, ends, init_model,
     sidx = jnp.where(valid, starts[:, None] + perm.astype(jnp.int32), -1)
     xs = xs16.astype(jnp.float32)
     ys = ys16.astype(jnp.float32)
-    return _run_scan(xs, ys, ts, sidx, starts, ends, init_model, cfg, hist_k)
+    return _run_scan(xs, ys, ts, sidx, starts, ends, bbox, nval, init_model,
+                     cfg, hist_k)
 
 
 def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
@@ -330,27 +354,31 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
             )
     if native_out is not None:
         xs16_n, ys16_n, ts, perm_n = native_out
-        idx = np.where(
-            perm_n != PERM_SENTINEL,
-            plan.starts[:, None] + perm_n.astype(np.int64), -1
-        ).astype(np.int32)
+        idx = None   # accumulation reconstructs per slice from perm_host:
+        # materializing the [S, capp] int32 original-index matrix up front
+        # costs ~1.7 s of int64 numpy on a 6M-event recording — the single
+        # largest plan_s item after the native sort.
         xs, ys = xs16_n, ys16_n  # already u16
     else:
         xs, ys, ts, idx, lens = materialize_slices(
             x, y, t_ns, plan, cfg.slice.max_events,
             band_pad=True, res_x=cfg.sensor.res_x,
         )
-    compact = compact and (idx.shape[1] < 0xFFFF)
+    capp_out = perm_n.shape[1] if native_out is not None else idx.shape[1]
+    compact = compact and (capp_out < 0xFFFF)
     # Noise-history depth: the furthest back any slice's events extend
     # (slice s overlaps slice s' iff ends[s'] >= starts[s]; membership runs
     # are contiguous).  Static per compiled program.
     S = len(plan.ends)
     first_overlap = np.searchsorted(plan.ends, plan.starts)
     hist_k = max(1, int(np.max(np.arange(S) - first_overlap, initial=1)))
+    bbox, lens = host_bbox(x, y, plan)
     prepared = {"plan": plan, "n": len(x), "compact": compact,
-                "idx_host": idx, "hist_k": hist_k,
+                "idx_host": idx, "perm_host": perm_n if native_out is not None else None,
+                "hist_k": hist_k,
                 "starts": jnp.asarray(plan.starts.astype(np.int32)),
-                "ends": jnp.asarray(plan.ends.astype(np.int32))}
+                "ends": jnp.asarray(plan.ends.astype(np.int32)),
+                "bbox": jnp.asarray(bbox), "nval": jnp.asarray(lens)}
     if compact:
         if native_out is not None:
             perm = perm_n
@@ -410,12 +438,14 @@ def compensate_recording_scan(
         final_model, (u, v, noise_s, iters, ran), chk = _scan_slices_compact(
             prepared["xs16"], prepared["ys16"], prepared["ts"],
             prepared["perm"], prepared["starts"], prepared["ends"],
+            prepared["bbox"], prepared["nval"],
             model0, cfg, prepared["hist_k"],
         )
     else:
         final_model, (u, v, noise_s, iters, ran), chk = _scan_slices(
             prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
             prepared["starts"], prepared["ends"],
+            prepared["bbox"], prepared["nval"],
             model0, cfg, prepared["hist_k"],
         )
     float(np.asarray(chk))  # host fetch: forces true completion (see _scan_slices)
@@ -428,14 +458,20 @@ def compensate_recording_scan(
     v = np.asarray(v)
     noise_s = np.asarray(noise_s)
     idx_h = prepared["idx_host"]
+    perm_h = prepared.get("perm_host")
+    starts_h = plan.starts
     acc_u = np.zeros(n, np.float32)
     acc_v = np.zeros(n, np.float32)
     acc_noise = np.zeros(n, bool)
     seen = np.zeros(n, bool)
     S = len(plan.ends)
     for s in range(S):
-        m = idx_h[s] >= 0          # band-padded layouts are not a prefix
-        orig = idx_h[s][m]
+        if idx_h is None:          # compact native path: idx deferred
+            m = perm_h[s] != PERM_SENTINEL
+            orig = starts_h[s] + perm_h[s][m].astype(np.int64)
+        else:
+            m = idx_h[s] >= 0      # band-padded layouts are not a prefix
+            orig = idx_h[s][m]
         fresh = ~seen[orig]
         tgt = orig[fresh]
         acc_u[tgt] = u[s][m][fresh]

@@ -89,4 +89,13 @@ def test_prepare_recording_uses_native(monkeypatch):
                                   np.asarray(p_np["ts"]))
     np.testing.assert_array_equal(np.asarray(p_nat["perm"]),
                                   np.asarray(p_np["perm"]))
-    np.testing.assert_array_equal(p_nat["idx_host"], p_np["idx_host"])
+    # The native path defers the original-index matrix (plan_s cost); its
+    # per-slice reconstruction from perm must equal the numpy idx matrix.
+    assert p_nat["idx_host"] is None
+    perm = p_nat["perm_host"]
+    starts = p_nat["plan"].starts
+    idx_rec = np.where(
+        perm != np.uint16(0xFFFF),
+        starts[:, None] + perm.astype(np.int64), -1
+    ).astype(np.int32)
+    np.testing.assert_array_equal(idx_rec, p_np["idx_host"])
