@@ -130,21 +130,23 @@ def _finish_values(acc_t, acc_c, scale: int, HP: int, WP: int,
     (_kernel_megastep)."""
     half = scale // 2
     if True:
-        # Box filter on the two accumulators COLUMN-STACKED into one
-        # (HP, 2*WP) array: half the roll/add passes.  The circular wrap at
-        # the seam (col WP-1 <-> WP) and the outer edges only mixes
-        # guard-ring columns that are zero in both halves (the scatter never
-        # writes at rows >= H or cols >= W, and W + half <= WP - 1).
-        if scale > 1:
-            B = jnp.concatenate([acc_t[:, :], acc_c[:, :]], axis=1)
-            r = B
+        # (A column-stacked shared box filter halved the roll passes but
+        # sent the Mosaic compile time through the roof — the (HP, 2*WP)
+        # concatenate of two scratch refs took the remote compiler >14 min.
+        # Separable per-image boxes compile in normal time.)
+        def box(acc):
+            a = acc[:, :]
+            r = a
             for dr in range(1, half + 1):
-                r = r + _roll(B, -dr, 0) + _roll(B, dr, 0)
+                r = r + _roll(a, -dr, 0) + _roll(a, dr, 0)
             out = r
             for dc in range(1, half + 1):
                 out = out + _roll(r, -dc, 1) + _roll(r, dc, 1)
-            t_box = out[:, :WP]
-            c_box = out[:, WP:]
+            return out
+
+        if scale > 1:
+            t_box = box(acc_t)
+            c_box = box(acc_c)
         else:
             t_box = acc_t[:, :]
             c_box = acc_c[:, :]

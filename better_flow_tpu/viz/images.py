@@ -373,3 +373,29 @@ def uvscore_images(
         "arrows": arrows,
         "scores": scores_u8,
     }
+
+
+def display_uvscore(
+    best_pr_x, best_pr_y, best_u, best_v, max_score, noise=None,
+    res_x: int = 180, res_y: int = 240, scale: float = 15,
+    wait_ms: int = 33,
+) -> None:
+    """Interactive EventFile::display_uvscore (event_file.h:353-456): shows
+    the hi-res best-projection, flow, and arrow windows in a waitKey loop
+    until ESC — the reference's display has no trackbars, just the three
+    windows (:455-459).  Requires a display; raises cv2.error headless
+    (use uvscore_images for the raw image set)."""
+    _require_cv2()
+    imgs = uvscore_images(best_pr_x, best_pr_y, best_u, best_v, max_score,
+                          noise, res_x=res_x, res_y=res_y, scale=scale)
+    names = {
+        "Best Projected Hi Res": imgs["best_projection_hires"],
+        "Flow": imgs["flow"],
+        "Flow Arrow": imgs["arrows"],
+    }
+    for n in names:
+        cv2.namedWindow(n, cv2.WINDOW_NORMAL)
+    while cv2.waitKey(wait_ms) != 27:
+        for n, im in names.items():
+            cv2.imshow(n, im)
+    cv2.destroyAllWindows()
