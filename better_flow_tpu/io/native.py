@@ -50,7 +50,7 @@ def _find_or_build() -> Optional[ctypes.CDLL]:
     if not so.exists():
         return None
     lib = ctypes.CDLL(str(so))
-    if not hasattr(lib, "bf_materialize_bandpad"):
+    if not hasattr(lib, "bf_materialize_bandpad_u16"):
         # stale library from an older build: rebuild, then load under a
         # unique path (dlopen caches by path within a process)
         if not _build(root):
@@ -62,7 +62,7 @@ def _find_or_build() -> Optional[ctypes.CDLL]:
         tmp.close()
         shutil.copy(so, tmp.name)
         lib = ctypes.CDLL(tmp.name)
-        if not hasattr(lib, "bf_materialize_bandpad"):
+        if not hasattr(lib, "bf_materialize_bandpad_u16"):
             return None
     lib.bf_parse_events.restype = ctypes.c_int64
     lib.bf_parse_events.argtypes = [ctypes.c_char_p, ctypes.POINTER(_EventArrays)]
@@ -95,6 +95,28 @@ def _find_or_build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_uint16),
+    ]
+    lib.bf_materialize_bandpad_u16.restype = ctypes.c_int64
+    lib.bf_materialize_bandpad_u16.argtypes = (
+        [ctypes.POINTER(ctypes.c_uint16)] * 2
+        + [ctypes.POINTER(ctypes.c_int64)] * 4
+        + [ctypes.c_int64] * 6
+        + [ctypes.POINTER(ctypes.c_uint16)] * 2
+        + [ctypes.POINTER(ctypes.c_float),
+           ctypes.POINTER(ctypes.c_uint16),
+           ctypes.POINTER(ctypes.c_int32)]
+    )
+    lib.bf_coords_u16_f64.restype = ctypes.c_int64
+    lib.bf_coords_u16_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+    ]
+    lib.bf_coords_u16_f32.restype = ctypes.c_int64
+    lib.bf_coords_u16_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
     ]
     return lib
 
@@ -135,6 +157,78 @@ def materialize_bandpad(x, y, t_ns, starts, ends, slice_start_ns,
     if rc != 0:
         return None
     return xs16, ys16, ts, perm
+
+
+def coords_u16(x, y):
+    """One-pass coordinate narrowing + validity check in C++ (f64 or f32
+    input, no intermediate f32 copy).  Returns (x16, y16) u16 arrays, or
+    None if the native library is missing or any coordinate is negative,
+    non-integral, or >= 0xFFFF (callers then take the generic path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x)
+    y = np.ascontiguousarray(y)
+    if x.dtype == np.float64 and y.dtype == np.float64:
+        fn, ct = lib.bf_coords_u16_f64, ctypes.c_double
+    elif x.dtype == np.float32 and y.dtype == np.float32:
+        fn, ct = lib.bf_coords_u16_f32, ctypes.c_float
+    else:
+        x = np.ascontiguousarray(x, np.float64)
+        y = np.ascontiguousarray(y, np.float64)
+        fn, ct = lib.bf_coords_u16_f64, ctypes.c_double
+    n = len(x)
+    xo = np.empty(n, np.uint16)
+    yo = np.empty(n, np.uint16)
+
+    def p(a, c):
+        return a.ctypes.data_as(ctypes.POINTER(c))
+
+    rc = fn(p(x, ct), p(y, ct), n,
+            p(xo, ctypes.c_uint16), p(yo, ctypes.c_uint16))
+    if rc != 0:
+        return None
+    return xo, yo
+
+
+def materialize_bandpad_u16(x16, y16, t_ns, starts, ends, slice_start_ns,
+                            capp: int, band_rows: int, chunk: int,
+                            n_bands: int, res_y: int):
+    """u16-coordinate materialization with per-slice bbox: the zero-copy
+    staging path (coords_u16 output feeds straight in).  Returns
+    (xs16, ys16, ts, perm, bbox[S, 4]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x16 = np.ascontiguousarray(x16, np.uint16)
+    y16 = np.ascontiguousarray(y16, np.uint16)
+    t_ns = np.ascontiguousarray(t_ns, np.int64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    slice_start_ns = np.ascontiguousarray(slice_start_ns, np.int64)
+    S = len(starts)
+    xs16 = np.empty((S, capp), np.uint16)
+    ys16 = np.empty((S, capp), np.uint16)
+    ts = np.empty((S, capp), np.float32)
+    perm = np.empty((S, capp), np.uint16)
+    bbox = np.zeros((S, 4), np.int32)
+
+    def p(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    rc = lib.bf_materialize_bandpad_u16(
+        p(x16, ctypes.c_uint16), p(y16, ctypes.c_uint16),
+        p(t_ns, ctypes.c_int64),
+        p(starts, ctypes.c_int64), p(ends, ctypes.c_int64),
+        p(slice_start_ns, ctypes.c_int64),
+        S, capp, band_rows, chunk, n_bands, res_y,
+        p(xs16, ctypes.c_uint16), p(ys16, ctypes.c_uint16),
+        p(ts, ctypes.c_float), p(perm, ctypes.c_uint16),
+        p(bbox, ctypes.c_int32),
+    )
+    if rc != 0:
+        return None
+    return xs16, ys16, ts, perm, bbox
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

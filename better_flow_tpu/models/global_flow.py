@@ -592,13 +592,17 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         [st[0, ST_PG:ST_PG + 4], st[0, ST_PD:ST_PD + 4]]
     )
 
+    from better_flow_tpu.ops.pallas.fused_model import warp_uv_call
+
     cap = ev.x.shape[0]
-    pr_prev_x = pr[:, 0].reshape(-1)[:cap]
-    pr_prev_y = pr[:, 1].reshape(-1)[:cap]
-    pr_x, pr_y, nx, ny = project_4param_reinit(
-        ev.x, ev.y, ev.t, pr_prev_x, pr_prev_y,
+    out = warp_uv_call(
+        stat, pr,
         -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
     )
+    pr_x = out[:, 0].reshape(-1)[:cap]
+    pr_y = out[:, 1].reshape(-1)[:cap]
+    nx = out[:, 2].reshape(-1)[:cap]
+    ny = out[:, 3].reshape(-1)[:cap]
     return m, pr_x, pr_y, nx, ny, iters, seed_out
 
 

@@ -1151,3 +1151,69 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
         interpret=_interp(),
     )(geo, st, stat, act, pr)
     return npr, st_out
+
+
+def _kernel_warp_uv(scal_ref, stat_ref, pr_ref, out_ref):
+    """Final-warp epilogue: one warp-only pass producing (pr_x, pr_y, nx,
+    ny) per chunk.  This is the project_4param_reinit epilogue of the fused
+    loop (the megastep exits with pr one warp behind the model) as a kernel
+    instead of ~15 XLA elementwise passes per slice.  Same f32 op order as
+    ops/warp.py; compute_uv stays outside (two fused multiplies)."""
+    dnx_ = scal_ref[0, 0]
+    dny_ = scal_ref[0, 1]
+    cx = scal_ref[0, 2]
+    cy = scal_ref[0, 3]
+    divp = scal_ref[0, 4]
+    crl = scal_ref[0, 5]
+    cosv = jnp.cos(crl)
+    sinv = jnp.sin(crl)
+
+    stat = stat_ref[0]
+    frx = stat[0:1]
+    fry = stat[1:2]
+    t_ns = stat[2:3]
+    prb = pr_ref[0]
+
+    rx = prb[0:1] - cx
+    ry = prb[1:2] - cy
+    rpx = cosv * rx - sinv * ry
+    rpy = sinv * rx + cosv * ry
+    nx = -rpx * divp + (rpx - rx) + dnx_
+    ny = -rpy * divp + (rpy - ry) + dny_
+    kx = nx / jnp.float32(_NZ)
+    ky = ny / jnp.float32(_NZ)
+    ts = t_ns / jnp.float32(_WARP_TIME_DIV)
+    out_ref[0, 0:1] = frx - kx * ts
+    out_ref[0, 1:2] = fry - ky * ts
+    out_ref[0, 2:3] = nx
+    out_ref[0, 3:4] = ny
+
+
+def warp_uv_call(stat, pr, dnx_, dny_, cx, cy, divp, crl):
+    """Run the final-warp epilogue kernel.  Returns (nch, 4, CHUNK):
+    [pr_x, pr_y, nx, ny]."""
+    n_chunks = stat.shape[0]
+    scal = jnp.stack(
+        [jnp.asarray(v, jnp.float32)
+         for v in (dnx_, dny_, cx, cy, divp, crl)]
+        + [jnp.float32(0)] * 2
+    ).reshape(1, 8)
+    kern = _kernel_warp_uv
+    return pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, CHUNK), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 4, CHUNK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(scal, stat, pr)

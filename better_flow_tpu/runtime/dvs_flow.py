@@ -64,9 +64,30 @@ class DVSFlow:
         self.slices: List[SliceRecord] = []
         self.frame_count = 0
         self.on_slice: Optional[Callable[[SliceRecord], None]] = None
+        def _process(ev, model, seed, bbox, n_valid, opt, sensor,
+                     warm_start, presorted):
+            res = process_slice(ev, model, opt, sensor,
+                                warm_start=warm_start, presorted=presorted,
+                                seed=seed, bbox=bbox, n_valid=n_valid)
+            # One packed (6, cap) f32 output so the host pays a SINGLE
+            # device->host fetch per slice: the axon relay costs ~26 ms
+            # round trip per transfer, and five separate np.asarray fetches
+            # were 70% of streaming wall time (0.375x realtime).  Row 5
+            # carries the scalars (iters, window_small).
+            cap = res.u.shape[0]
+            scal_row = jnp.zeros((cap,), jnp.float32)
+            scal_row = scal_row.at[0].set(res.iters.astype(jnp.float32))
+            scal_row = scal_row.at[1].set(
+                res.window_small.astype(jnp.float32))
+            packed = jnp.stack([
+                res.u, res.v, res.pr_x, res.pr_y,
+                res.noise.astype(jnp.float32), scal_row,
+            ])
+            return res.model, res.seed, packed
+
         self._jit = jax.jit(
-            process_slice,
-            static_argnames=("cfg", "sensor", "warm_start", "presorted"),
+            _process,
+            static_argnames=("opt", "sensor", "warm_start", "presorted"),
         )
 
     # ------------------------------------------------------------------ feed
@@ -162,30 +183,33 @@ class DVSFlow:
                                jnp.int32)
         else:
             bbox = jnp.zeros(4, jnp.int32)
-        res = self._jit(
+        model_out, seed_out, packed = self._jit(
             ev,
             self.last_model,
+            self.last_seed,
+            bbox,
+            jnp.int32(n),
             self.cfg.optimizer,
             self.cfg.sensor,
             warm_start=not self.cfg.stm_disable,
             presorted=True,
-            seed=self.last_seed,
-            bbox=bbox,
-            n_valid=jnp.int32(n),
         )
 
         # last_model = optimizer.get_model() (dvs_flow.h:224).  When stm is
         # disabled the optimizer started from zero; its result still becomes
         # the stored model, matching the C++ (set_model simply not called).
-        self.last_model = jax.tree_util.tree_map(jnp.asarray, res.model)
-        self.last_seed = jnp.asarray(res.seed)
+        # Both stay on device (no fetch); only ``packed`` crosses the relay.
+        self.last_model = model_out
+        self.last_seed = seed_out
 
+        packed_h = np.asarray(packed)        # the one per-slice fetch
         # invert the spatial sort so writebacks land on the right events
-        noise = np.asarray(res.noise)[:n][inv]
-        u = np.asarray(res.u)[:n][inv]
-        v = np.asarray(res.v)[:n][inv]
-        pr_x = np.asarray(res.pr_x)[:n][inv]
-        pr_y = np.asarray(res.pr_y)[:n][inv]
+        u = packed_h[0, :n][inv]
+        v = packed_h[1, :n][inv]
+        pr_x = packed_h[2, :n][inv]
+        pr_y = packed_h[3, :n][inv]
+        noise = packed_h[4, :n][inv] > 0.5
+        n_iters = int(packed_h[5, 0])
         self.buffer.writeback(snap["index"], noise=noise, u=u, v=v,
                               pr_x=pr_x, pr_y=pr_y)
 
@@ -201,7 +225,7 @@ class DVSFlow:
             pr_x=pr_x,
             pr_y=pr_y,
             model=self.last_model,
-            iters=int(res.iters),
+            iters=n_iters,
             wall_s=wall,
             n_events=n,
             slice_start_time=slice_start,

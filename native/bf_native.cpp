@@ -214,12 +214,16 @@ int64_t bf_ring_size(RingBuffer* r) { return bf_ring_fix_span(r); }
 // Returns 0, or -1 if any slice's padded layout exceeds capp (caller must
 // then fall back to the numpy path).
 
-static void materialize_rows(
-    const float* x, const float* y, const int64_t* t_ns,
+}  // extern "C" (reopened below for the exports)
+
+template <class CT>
+static void materialize_rows_t(
+    const CT* x, const CT* y, const int64_t* t_ns,
     const int64_t* starts, const int64_t* ends, const int64_t* slice_start_ns,
     int64_t s0, int64_t s1, int64_t capp, int64_t band_rows, int64_t chunk,
     int64_t n_bands, int64_t res_y,
-    uint16_t* xs16, uint16_t* ys16, float* ts, uint16_t* perm, int* bad) {
+    uint16_t* xs16, uint16_t* ys16, float* ts, uint16_t* perm,
+    int32_t* bbox, int* bad) {
     std::vector<int64_t> cnt(n_bands * res_y);
     std::vector<int64_t> base(n_bands + 1);
     for (int64_t s = s0; s < s1; ++s) {
@@ -235,10 +239,25 @@ static void materialize_rows(
         memset(pr, 0xFF, capp * sizeof(uint16_t));  // 0xFFFF sentinel
 
         std::fill(cnt.begin(), cnt.end(), 0);
+        int64_t xmin = INT64_MAX, xmax = INT64_MIN;
+        int64_t ymin = INT64_MAX, ymax = INT64_MIN;
         for (int64_t i = lo; i <= hi; ++i) {
             int64_t b = (int64_t)x[i] / band_rows;
             int64_t c = (int64_t)y[i];
+            int64_t xi = (int64_t)x[i];
+            if (xi < xmin) xmin = xi;
+            if (xi > xmax) xmax = xi;
+            if (c < ymin) ymin = c;
+            if (c > ymax) ymax = c;
             cnt[b * res_y + c]++;
+        }
+        if (bbox) {
+            // per-slice integer bbox + the window population (what
+            // OptimizerRolling::set_cloud scans, optimizer_rolling.h:252-261)
+            bbox[s * 4 + 0] = (int32_t)(hi >= lo ? xmin : 0);
+            bbox[s * 4 + 1] = (int32_t)(hi >= lo ? xmax : 0);
+            bbox[s * 4 + 2] = (int32_t)(hi >= lo ? ymin : 0);
+            bbox[s * 4 + 3] = (int32_t)(hi >= lo ? ymax : 0);
         }
         // chunk-aligned band bases
         base[0] = 0;
@@ -269,21 +288,23 @@ static void materialize_rows(
     }
 }
 
-int64_t bf_materialize_bandpad(
-    const float* x, const float* y, const int64_t* t_ns,
+template <class CT>
+static int64_t materialize_bandpad_t(
+    const CT* x, const CT* y, const int64_t* t_ns,
     const int64_t* starts, const int64_t* ends, const int64_t* slice_start_ns,
     int64_t S, int64_t capp, int64_t band_rows, int64_t chunk,
     int64_t n_bands, int64_t res_y,
-    uint16_t* xs16, uint16_t* ys16, float* ts, uint16_t* perm) {
+    uint16_t* xs16, uint16_t* ys16, float* ts, uint16_t* perm,
+    int32_t* bbox) {
     int n_thr = (int)std::thread::hardware_concurrency();
     if (n_thr < 1) n_thr = 1;
     if (n_thr > 8) n_thr = 8;
     if ((int64_t)n_thr > S) n_thr = (int)S;
     std::vector<int> bad(n_thr, 0);
     if (n_thr <= 1) {
-        materialize_rows(x, y, t_ns, starts, ends, slice_start_ns, 0, S,
-                         capp, band_rows, chunk, n_bands, res_y,
-                         xs16, ys16, ts, perm, &bad[0]);
+        materialize_rows_t<CT>(x, y, t_ns, starts, ends, slice_start_ns, 0, S,
+                               capp, band_rows, chunk, n_bands, res_y,
+                               xs16, ys16, ts, perm, bbox, &bad[0]);
     } else {
         std::vector<std::thread> threads;
         int64_t per = (S + n_thr - 1) / n_thr;
@@ -291,9 +312,78 @@ int64_t bf_materialize_bandpad(
             int64_t s0 = k * per;
             int64_t s1 = s0 + per < S ? s0 + per : S;
             if (s0 >= s1) break;
-            threads.emplace_back(materialize_rows, x, y, t_ns, starts, ends,
-                                 slice_start_ns, s0, s1, capp, band_rows,
-                                 chunk, n_bands, res_y, xs16, ys16, ts, perm,
+            threads.emplace_back(materialize_rows_t<CT>, x, y, t_ns, starts,
+                                 ends, slice_start_ns, s0, s1, capp,
+                                 band_rows, chunk, n_bands, res_y, xs16,
+                                 ys16, ts, perm, bbox, &bad[k]);
+        }
+        for (auto& t : threads) t.join();
+    }
+    for (int b : bad) if (b) return -1;
+    return 0;
+}
+
+extern "C" int64_t bf_materialize_bandpad(
+    const float* x, const float* y, const int64_t* t_ns,
+    const int64_t* starts, const int64_t* ends, const int64_t* slice_start_ns,
+    int64_t S, int64_t capp, int64_t band_rows, int64_t chunk,
+    int64_t n_bands, int64_t res_y,
+    uint16_t* xs16, uint16_t* ys16, float* ts, uint16_t* perm) {
+    return materialize_bandpad_t<float>(x, y, t_ns, starts, ends,
+                                        slice_start_ns, S, capp, band_rows,
+                                        chunk, n_bands, res_y, xs16, ys16,
+                                        ts, perm, nullptr);
+}
+
+// u16-coordinate variant with per-slice bbox output — the zero-copy path
+// fed by bf_coords_u16 (no f32 conversion, no separate integral scan, no
+// python bbox loop).
+extern "C" int64_t bf_materialize_bandpad_u16(
+    const uint16_t* x, const uint16_t* y, const int64_t* t_ns,
+    const int64_t* starts, const int64_t* ends, const int64_t* slice_start_ns,
+    int64_t S, int64_t capp, int64_t band_rows, int64_t chunk,
+    int64_t n_bands, int64_t res_y,
+    uint16_t* xs16, uint16_t* ys16, float* ts, uint16_t* perm,
+    int32_t* bbox) {
+    return materialize_bandpad_t<uint16_t>(x, y, t_ns, starts, ends,
+                                           slice_start_ns, S, capp,
+                                           band_rows, chunk, n_bands, res_y,
+                                           xs16, ys16, ts, perm, bbox);
+}
+
+// One-pass coordinate narrowing + validity check: every coordinate must be
+// a non-negative integral value below 0xFFFF (the compact-transfer
+// contract of runtime/scan_pipeline.prepare_recording).  Returns 0 and
+// fills xo/yo, or -1 (outputs undefined) — the caller then takes the
+// generic f32 path.  Templated over the source dtype; threaded 2-way.
+template <class CT>
+static void coords_rows(const CT* x, const CT* y, int64_t lo, int64_t hi,
+                        uint16_t* xo, uint16_t* yo, int* bad) {
+    for (int64_t i = lo; i < hi; ++i) {
+        CT xv = x[i], yv = y[i];
+        if (!(xv >= 0 && xv < 65535 && yv >= 0 && yv < 65535)) { *bad = 1; return; }
+        uint16_t xi = (uint16_t)xv, yi = (uint16_t)yv;
+        if ((CT)xi != xv || (CT)yi != yv) { *bad = 1; return; }
+        xo[i] = xi;
+        yo[i] = yi;
+    }
+}
+
+template <class CT>
+static int64_t coords_u16_t(const CT* x, const CT* y, int64_t n,
+                            uint16_t* xo, uint16_t* yo) {
+    int n_thr = n > 1000000 ? 2 : 1;
+    std::vector<int> bad(n_thr, 0);
+    if (n_thr <= 1) {
+        coords_rows<CT>(x, y, 0, n, xo, yo, &bad[0]);
+    } else {
+        std::vector<std::thread> threads;
+        int64_t per = (n + n_thr - 1) / n_thr;
+        for (int k = 0; k < n_thr; ++k) {
+            int64_t lo = k * per;
+            int64_t hi = lo + per < n ? lo + per : n;
+            if (lo >= hi) break;
+            threads.emplace_back(coords_rows<CT>, x, y, lo, hi, xo, yo,
                                  &bad[k]);
         }
         for (auto& t : threads) t.join();
@@ -302,4 +392,13 @@ int64_t bf_materialize_bandpad(
     return 0;
 }
 
-}  // extern "C"
+extern "C" int64_t bf_coords_u16_f64(const double* x, const double* y, int64_t n,
+                          uint16_t* xo, uint16_t* yo) {
+    return coords_u16_t<double>(x, y, n, xo, yo);
+}
+
+extern "C" int64_t bf_coords_u16_f32(const float* x, const float* y, int64_t n,
+                          uint16_t* xo, uint16_t* yo) {
+    return coords_u16_t<float>(x, y, n, xo, yo);
+}
+

@@ -77,10 +77,14 @@ def test_prepare_recording_uses_native(monkeypatch):
                           refresh_events=4000, refresh_time_ns=int(0.05e9)),
     )
     p_nat = prepare_recording(x, y, t_ns, cfg)
-    monkeypatch.setattr(native, "materialize_bandpad",
-                        lambda *a, **k: None)
+    monkeypatch.setattr(native, "coords_u16", lambda *a, **k: None)
     p_np = prepare_recording(x, y, t_ns, cfg)
     assert p_nat["compact"] and p_np["compact"]
+    # native in-sort bbox == numpy host_bbox
+    np.testing.assert_array_equal(np.asarray(p_nat["bbox"]),
+                                  np.asarray(p_np["bbox"]))
+    np.testing.assert_array_equal(np.asarray(p_nat["nval"]),
+                                  np.asarray(p_np["nval"]))
     np.testing.assert_array_equal(np.asarray(p_nat["xs16"]),
                                   np.asarray(p_np["xs16"]))
     np.testing.assert_array_equal(np.asarray(p_nat["ys16"]),
