@@ -462,10 +462,10 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     # chain between kernel calls costs tens of us per iteration on v5e
     # (bench_probes "scalar-glue").  The event-parallel path keeps the psum
     # seam below; custom carriers (f64 totals) keep the composed scalars.
-    if (axis_name is None and cfg.schedule in ("reference", "fast")
+    if (cfg.schedule in ("reference", "fast")
             and model0.total_dx.dtype == jnp.float32):
         return _run_fused_mega(ev, geom, model0, cfg, scale, H, W, stat,
-                               act, seed=seed)
+                               act, seed=seed, axis_name=axis_name)
 
     def step(s: FusedFlowState, update_fn=None) -> FusedFlowState:
         m = s.model
@@ -519,7 +519,7 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
 
 
 def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
-                    stat, act, seed=None):
+                    stat, act, seed=None, axis_name=None):
     """Megastep driver: while_loop whose body is one pallas_call carrying an
     SMEM (1, 32) scalar state (ops/pallas/fused_model.ST_* layout) plus the
     chunked positions; cond reads the kernel-computed continue flag.  The
@@ -529,6 +529,7 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         ST_CDIV, ST_CDX, ST_CDY, ST_CNT, ST_CONT, ST_CROT, ST_CX, ST_CY,
         ST_DDIV, ST_DIV, ST_DX, ST_DY, ST_ITERS, ST_RDIV, ST_ROT, ST_TDIV,
         ST_TDX, ST_TDY, ST_TROT, ST_XDIV, ST_YDIV, megastep_call,
+        megastep_finish_call, warp_images_st_call,
     )
 
     geo = jnp.stack(
@@ -562,15 +563,33 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
             vals[ST_PD + k] = seed[4 + k]
     st0 = jnp.stack(vals).reshape(1, 32)
 
+    statics = dict(
+        schedule=cfg.schedule, rot_tol=cfg.rot_tol, div_tol=cfg.div_tol,
+        dx_tol=cfg.dx_tol, dy_tol=cfg.dy_tol,
+        xy_cap=cfg.xy_divider_cap, rotdiv_cap=cfg.rotdiv_divider_cap,
+        max_iter=cfg.max_iter, hard_cap=cfg.iter_hard_cap,
+    )
+
     def body(carry):
         st, pr = carry
-        npr, st2 = megastep_call(
-            stat, act, pr, st, geo, scale=scale, H=H, W=W,
-            schedule=cfg.schedule, rot_tol=cfg.rot_tol, div_tol=cfg.div_tol,
-            dx_tol=cfg.dx_tol, dy_tol=cfg.dy_tol,
-            xy_cap=cfg.xy_divider_cap, rotdiv_cap=cfg.rotdiv_divider_cap,
-            max_iter=cfg.max_iter, hard_cap=cfg.iter_hard_cap,
-        )
+        if axis_name is None:
+            npr, st2 = megastep_call(
+                stat, act, pr, st, geo, scale=scale, H=H, W=W, **statics
+            )
+        else:
+            # Sharded megastep: shard-local warp+splat kernel -> one psum
+            # of the linear pre-filter images over the event axis -> the
+            # finish+update kernel replicated on every shard (identical
+            # inputs after the psum, so the state and the convergence
+            # decision stay exactly replicated with no extra collective).
+            npr, acc_t, acc_c = warp_images_st_call(
+                stat, act, pr, st, geo, scale=scale, H=H, W=W
+            )
+            acc_t = lax.psum(acc_t, axis_name)
+            acc_c = lax.psum(acc_c, axis_name)
+            st2 = megastep_finish_call(
+                acc_t, acc_c, st, geo, scale=scale, H=H, W=W, **statics
+            )
         return (st2, npr)
 
     # Unconditional first step (optimizer_rolling.h:73-74), then the loop.

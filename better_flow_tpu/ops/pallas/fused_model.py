@@ -965,9 +965,28 @@ def _kernel_megastep(
 
     @pl.when(pid == n_prog - 1)
     def _finish():
-        cnt, s_row, s_col, s_gx, s_gy, s_rg, s_dg = _finish_values(
-            acc_t, acc_c, scale, HP, WP, H, W
+        vals = _finish_values(acc_t, acc_c, scale, HP, WP, H, W)
+        _model_update_phase(
+            st_ref, st_out_ref, vals, x_sh, fb[0, 0], scale=scale,
+            schedule=schedule, rot_tol=rot_tol, div_tol=div_tol,
+            dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
+            rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
+            y_sh=y_sh,
         )
+
+
+def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
+                        scale: int, schedule: str, rot_tol: float,
+                        div_tol: float, dx_tol: float, dy_tol: float,
+                        xy_cap: float, rotdiv_cap: float, max_iter: int,
+                        hard_cap: int, y_sh):
+    """The scalar model update + convergence predicate shared by the
+    single-device megastep (run in its final grid step) and the sharded
+    finish kernel (run on the psum'd images): model_from_partials, both
+    step schedules, Kahan totals, divider doubling, ST_* state write."""
+    f32 = jnp.float32
+    cnt, s_row, s_col, s_gx, s_gy, s_rg, s_dg = vals
+    if True:
         # model_from_partials (ops/reductions.py) on scalars.
         denom = jnp.maximum(cnt, 1.0)
         cx_img = s_row / denom
@@ -1094,7 +1113,7 @@ def _kernel_megastep(
         st_out_ref[0, ST_ROT] = g_rot
         st_out_ref[0, ST_DIV] = g_div
         st_out_ref[0, ST_CNT] = cnt
-        st_out_ref[0, ST_FB] = st_ref[0, ST_FB] + fb[0, 0]
+        st_out_ref[0, ST_FB] = st_ref[0, ST_FB] + fb_val
         st_out_ref[0, 30] = f32(0)
         st_out_ref[0, 31] = f32(0)
 
@@ -1217,3 +1236,162 @@ def warp_uv_call(stat, pr, dnx_, dny_, cx, cy, divp, crl):
         ),
         interpret=_interp(),
     )(scal, stat, pr)
+
+
+# --------------------------------------------------------------------------
+# Sharded megastep: the event-parallel iteration split at the psum seam,
+# with BOTH halves as kernels and the scalar model update in-kernel.
+# Kernel A (below) = shard-local warp + windowed splat emitting pre-filter
+# images, reading its warp scalars from the same SMEM ST_* state the
+# single-device megastep uses; after lax.psum over the event axis, kernel B
+# (megastep_finish_call) runs box+normalize+Scharr+partials AND the model
+# update + convergence predicate on the summed images — replicated per
+# shard, so every device computes the identical next state with no further
+# collective and no XLA scalar chain.
+
+def _kernel_warp_images_st(
+    geo_ref, st_ref, stat_ref, act_ref, pr_ref, npr_ref, acc_t, acc_c,
+    fb_ref, *, scale: int, HP: int, WP: int,
+):
+    pid = pl.program_id(0)
+    half = scale // 2
+    f32 = jnp.float32
+
+    @pl.when(pid == 0)
+    def _init():
+        acc_t[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        acc_c[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        fb_ref[0, 0] = f32(0)
+
+    x_sh = geo_ref[0, 0]
+    y_sh = geo_ref[0, 1]
+    wd = geo_ref[0, 2]
+    hd = geo_ref[0, 3]
+    dnx_ = -st_ref[0, ST_TDX]
+    dny_ = -st_ref[0, ST_TDY]
+    crl = -st_ref[0, ST_TROT]
+    divp = st_ref[0, ST_TDIV]
+    cx = st_ref[0, ST_CX]
+    cy = st_ref[0, ST_CY]
+    cosv = jnp.cos(crl)
+    sinv = jnp.sin(crl)
+
+    stat = stat_ref[0]
+    frx = stat[0:1]
+    fry = stat[1:2]
+    t_ns = stat[2:3]
+    act = act_ref[0]
+    prb = pr_ref[0]
+
+    prx, pry = _warp_chunk(
+        frx, fry, t_ns, prb[0:1], prb[1:2],
+        dnx_, dny_, cx, cy, divp, cosv, sinv,
+    )
+    npr_ref[0, 0:1] = prx
+    npr_ref[0, 1:2] = pry
+
+    fx = prx * f32(scale) + x_sh
+    fy = pry * f32(scale) + y_sh
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+    ok = (
+        (act > 0)
+        & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
+        & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
+    )
+    row = jnp.where(ok, ix, -1)
+    colr = jnp.where(ok, iy, -1)
+    t_sec = t_ns / f32(1e9)
+    _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb_ref)
+
+
+def warp_images_st_call(stat, act, pr, st, geo, *, scale: int, H: int,
+                        W: int):
+    """Shard-local half of the sharded megastep.  Returns
+    (new_pr, acc_t, acc_c) — the pre-filter images are linear in events,
+    hence psum-combinable over the event mesh axis."""
+    HP, WP = padded_image_shape(H, W)
+    n_chunks = stat.shape[0]
+    kern = functools.partial(_kernel_warp_images_st, scale=scale, HP=HP,
+                             WP=WP)
+    npr, acc_t, acc_c, _fb = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, WP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, WP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, 2, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((HP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((HP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(geo, st, stat, act, pr)
+    return npr, acc_t, acc_c
+
+
+def _kernel_finish_st(
+    geo_ref, st_ref, acc_t_ref, acc_c_ref, st_out_ref, *, scale: int,
+    HP: int, WP: int, H: int, W: int, schedule: str, rot_tol: float,
+    div_tol: float, dx_tol: float, dy_tol: float, xy_cap: float,
+    rotdiv_cap: float, max_iter: int, hard_cap: int,
+):
+    vals = _finish_values(acc_t_ref, acc_c_ref, scale, HP, WP, H, W)
+    _model_update_phase(
+        st_ref, st_out_ref, vals, geo_ref[0, 0], jnp.float32(0),
+        scale=scale, schedule=schedule, rot_tol=rot_tol, div_tol=div_tol,
+        dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
+        rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
+        y_sh=geo_ref[0, 1],
+    )
+
+
+def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
+                         W: int, schedule: str, rot_tol: float,
+                         div_tol: float, dx_tol: float, dy_tol: float,
+                         xy_cap: float, rotdiv_cap: float, max_iter: int,
+                         hard_cap: int):
+    """Finish + model update on (psum'd) pre-filter images: the replicated
+    second half of the sharded megastep.  Returns the next ST_* state."""
+    HP, WP = acc_t.shape
+    kern = functools.partial(
+        _kernel_finish_st, scale=scale, HP=HP, WP=WP, H=H, W=W,
+        schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
+        dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
+        max_iter=max_iter, hard_cap=hard_cap,
+    )
+    return pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec((1, 8), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 32), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 32), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 32), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(geo, st, acc_t, acc_c)
