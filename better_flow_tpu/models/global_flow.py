@@ -320,13 +320,21 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
     )
 
     def cond(carry):
-        s, _, prev_d = carry
+        s, g, prev_d = carry
         small = jnp.all(jnp.abs(prev_d) < tol)
         # A seeded first step can look converged against a STALE cross-slice
-        # slope; always refresh the slope pair in-slice once before allowing
-        # the exit test (costs nothing unseeded: step 1 is the full
-        # reference step and essentially never passes the tolerance).
-        small = small & (s.iters >= 2)
+        # slope; refresh the slope pair in-slice once before allowing the
+        # exit test (costs nothing unseeded: step 1 is the full reference
+        # step and essentially never passes the tolerance).  Exception:
+        # when even the REFERENCE divider step is below tolerance (the
+        # parity schedule's own convergence test), the gradient is
+        # genuinely tiny and the refresh buys nothing — well-seeded slices
+        # on smooth motion exit after one iteration.
+        ref_small = jnp.all(
+            jnp.abs(g) / jnp.stack([s.rot_div, s.div_div, s.x_div, s.y_div])
+            < tol
+        )
+        small = small & ((s.iters >= 2) | ref_small)
         over_max = (cfg.max_iter > 0) & (s.iters > cfg.max_iter)
         return ~small & ~over_max & (s.iters < cfg.iter_hard_cap)
 

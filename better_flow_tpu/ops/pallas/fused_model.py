@@ -680,15 +680,16 @@ def _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo, r_lo, c_lo,
     oh_r = (rows_i == row - r_lo).astype(jnp.bfloat16)   # rejected: row == -1
     oh_cT = (colsT_i == colr - c_lo).astype(jnp.bfloat16)
     dn = (((1,), (1,)), ((), ()))
-    contrib_c = lax.dot_general(oh_r, oh_cT, dn,
-                                preferred_element_type=jnp.float32)
-    contrib_t = (
-        t0 * contrib_c
-        + lax.dot_general(oh_r * w_hi, oh_cT, dn,
+    # One stacked (3*rh, C) x (wc, C)^T MXU pass instead of three separate
+    # dots: identical products and f32 accumulation per output element
+    # (each stacked row is exactly one of the original dots' rows), but a
+    # single pipelined matmul — three small-M dots pay the MXU drain
+    # latency three times per chunk.
+    lhs = jnp.concatenate([oh_r, oh_r * w_hi, oh_r * w_lo], axis=0)
+    out = lax.dot_general(lhs, oh_cT, dn,
                           preferred_element_type=jnp.float32)
-        + lax.dot_general(oh_r * w_lo, oh_cT, dn,
-                          preferred_element_type=jnp.float32)
-    )
+    contrib_c = out[:rh]
+    contrib_t = t0 * contrib_c + out[rh:2 * rh] + out[2 * rh:]
     if rh == HP and wc == WP:
         acc_t[:, :] += contrib_t
         acc_c[:, :] += contrib_c
@@ -1062,10 +1063,23 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
         over_max = (max_iter > 0) & (new_iters > max_iter)
         under_cap = new_iters < hard_cap
         if schedule == "fast":
+            # A seeded first step can look converged against a STALE
+            # cross-slice slope, so iteration 1 normally refreshes the slope
+            # in-slice before the exit test.  Exception: when even the
+            # REFERENCE divider step is below tolerance (the parity
+            # schedule's own convergence test, post-doubling dividers), the
+            # gradient is genuinely tiny and the refresh buys nothing —
+            # well-seeded slices on smooth motion exit after one iteration.
+            ref_small = (
+                (jnp.abs(g_rot / rot_div) < rot_tol)
+                & (jnp.abs(g_div / div_div) < div_tol)
+                & (jnp.abs(g_dx / x_div) < dx_tol)
+                & (jnp.abs(g_dy / y_div) < dy_tol)
+            )
             small = (
                 (jnp.abs(d_rot) < rot_tol) & (jnp.abs(d_div) < div_tol)
                 & (jnp.abs(d_dx) < dx_tol) & (jnp.abs(d_dy) < dy_tol)
-            ) & (new_iters >= 2)   # refresh the slope in-slice before exit
+            ) & ((new_iters >= 2) | ref_small)
             cont = (~small) & (~over_max) & under_cap
         else:
             dividers_open = (
