@@ -332,7 +332,7 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
         # on smooth motion exit after one iteration.
         ref_small = jnp.all(
             jnp.abs(g) / jnp.stack([s.rot_div, s.div_div, s.x_div, s.y_div])
-            < tol
+            < 4.0 * tol
         )
         small = small & ((s.iters >= 2) | ref_small)
         over_max = (cfg.max_iter > 0) & (s.iters > cfg.max_iter)

@@ -1070,11 +1070,15 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
             # schedule's own convergence test, post-doubling dividers), the
             # gradient is genuinely tiny and the refresh buys nothing —
             # well-seeded slices on smooth motion exit after one iteration.
+            # 4x headroom on the gradient gate: the tolerance sweep showed
+            # a further 4x relaxation changes nothing on the gate scenes
+            # (the refresh floor was what bound), so a reference step
+            # within 4x tolerance marks a genuinely converged slice.
             ref_small = (
-                (jnp.abs(g_rot / rot_div) < rot_tol)
-                & (jnp.abs(g_div / div_div) < div_tol)
-                & (jnp.abs(g_dx / x_div) < dx_tol)
-                & (jnp.abs(g_dy / y_div) < dy_tol)
+                (jnp.abs(g_rot / rot_div) < 4.0 * rot_tol)
+                & (jnp.abs(g_div / div_div) < 4.0 * div_tol)
+                & (jnp.abs(g_dx / x_div) < 4.0 * dx_tol)
+                & (jnp.abs(g_dy / y_div) < 4.0 * dy_tol)
             )
             small = (
                 (jnp.abs(d_rot) < rot_tol) & (jnp.abs(d_div) < div_tol)
