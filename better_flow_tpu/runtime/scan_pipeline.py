@@ -342,16 +342,42 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
     native_out = None
     bbox_native = None
     x16y16 = None
+    dev_parts = None
     if len(plan.ends) > 0 and capp < 0xFFFF:
         x16y16 = _native.coords_u16(x, y)
     if x16y16 is not None:
-        out = _native.materialize_bandpad_u16(
-            x16y16[0], x16y16[1], t_ns,
-            plan.starts, plan.ends, plan.slice_start_ns,
-            capp, band_rows, CHUNK, n_bands, cfg.sensor.res_y,
-        )
-        if out is not None:
-            xs16_n, ys16_n, ts, perm_n, bbox_native = out
+        # Pipelined staging: sort slice-range batches on the host thread
+        # pool while the previous batch's slabs stream to the device
+        # (jax.device_put is async) — plan_s pays max(sort, transfer)
+        # instead of their sum on long recordings.  Each batch's rows are
+        # element-exact vs the single-call path (the counting sort is
+        # per-slice independent).
+        S_all = len(plan.starts)
+        n_batch = 4 if S_all >= 64 else 1
+        bounds = np.linspace(0, S_all, n_batch + 1).astype(np.int64)
+        host_parts, put_parts = [], []
+        ok = True
+        for b in range(n_batch):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            out = _native.materialize_bandpad_u16(
+                x16y16[0], x16y16[1], t_ns,
+                plan.starts[lo:hi], plan.ends[lo:hi],
+                plan.slice_start_ns[lo:hi],
+                capp, band_rows, CHUNK, n_bands, cfg.sensor.res_y,
+            )
+            if out is None:
+                ok = False
+                break
+            host_parts.append(out)
+            put_parts.append(tuple(jax.device_put(a) for a in out[:4]))
+        if ok:
+            # Host keeps only what accumulation needs (perm) and the small
+            # bbox; the big slabs live as per-batch device arrays.
+            perm_n = np.concatenate([p[3] for p in host_parts]) \
+                if n_batch > 1 else host_parts[0][3]
+            bbox_native = np.concatenate([p[4] for p in host_parts]) \
+                if n_batch > 1 else host_parts[0][4]
+            dev_parts = put_parts
             native_out = True
     compact = x16y16 is not None
 
@@ -360,7 +386,6 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
         # materializing the [S, capp] int32 original-index matrix up front
         # costs ~1.7 s of int64 numpy on a 6M-event recording — the single
         # largest plan_s item after the native sort.
-        xs, ys = xs16_n, ys16_n  # already u16
     else:
         x = np.ascontiguousarray(x, np.float32)
         y = np.ascontiguousarray(y, np.float32)
@@ -395,18 +420,26 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
                 "ends": jnp.asarray(plan.ends.astype(np.int32)),
                 "bbox": jnp.asarray(bbox), "nval": jnp.asarray(lens)}
     if compact:
-        if native_out is not None:
-            perm = perm_n
+        if dev_parts is not None:
+            # Slabs were already device_put per batch (overlapping the
+            # sort); a cheap device-side concatenation assembles the
+            # [S, capp] views the scan expects.
+            def _cat(i):
+                ps = [p[i] for p in dev_parts]
+                return ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=0)
+
+            prepared.update(xs16=_cat(0), ys16=_cat(1), ts=_cat(2),
+                            perm=_cat(3))
         else:
             perm = idx.astype(np.int64) - plan.starts.astype(np.int64)[:, None]
             perm = np.where(idx >= 0, perm,
                             int(PERM_SENTINEL)).astype(np.uint16)
-        prepared.update(
-            xs16=jnp.asarray(np.ascontiguousarray(xs, np.uint16)),
-            ys16=jnp.asarray(np.ascontiguousarray(ys, np.uint16)),
-            ts=jnp.asarray(ts),
-            perm=jnp.asarray(perm),
-        )
+            prepared.update(
+                xs16=jnp.asarray(np.ascontiguousarray(xs, np.uint16)),
+                ys16=jnp.asarray(np.ascontiguousarray(ys, np.uint16)),
+                ts=jnp.asarray(ts),
+                perm=jnp.asarray(perm),
+            )
     else:
         prepared.update(xs=jnp.asarray(xs), ys=jnp.asarray(ys),
                         ts=jnp.asarray(ts), idx=jnp.asarray(idx))

@@ -103,3 +103,36 @@ def test_prepare_recording_uses_native(monkeypatch):
         starts[:, None] + perm.astype(np.int64), -1
     ).astype(np.int32)
     np.testing.assert_array_equal(idx_rec, p_np["idx_host"])
+
+
+@needs_native
+def test_batched_staging_matches_single_call():
+    """prepare_recording's pipelined slice-range batching (>= 64 slices:
+    sort batch b+1 while batch b's slabs stream to the device) must be
+    element-exact vs one native call over all slices."""
+    x, y, t_ns = _recording(n=400_000, seed=11)
+    cfg = PipelineConfig(
+        sensor=SensorConfig(180, 240),
+        slice=SliceConfig(max_events=8000, span_ns=int(0.05e9),
+                          refresh_events=3000, refresh_time_ns=int(0.02e9)),
+    )
+    prep = prepare_recording(x, y, t_ns, cfg)
+    plan = prep["plan"]
+    S = len(plan.starts)
+    assert S >= 64, f"recording too short to exercise batching ({S} slices)"
+
+    band_rows = 32
+    n_bands = max(cfg.sensor.res_x + band_rows - 1, band_rows) // band_rows
+    cap = cfg.slice.max_events
+    capp = -(-(cap + n_bands * (CHUNK - 1)) // CHUNK) * CHUNK
+    x16, y16 = native.coords_u16(x, y)
+    xs, ys, ts, perm, bbox = native.materialize_bandpad_u16(
+        x16, y16, t_ns, plan.starts, plan.ends, plan.slice_start_ns,
+        capp, band_rows, CHUNK, n_bands, cfg.sensor.res_y,
+    )
+    np.testing.assert_array_equal(np.asarray(prep["xs16"]), xs)
+    np.testing.assert_array_equal(np.asarray(prep["ys16"]), ys)
+    np.testing.assert_array_equal(np.asarray(prep["ts"]), ts)
+    np.testing.assert_array_equal(np.asarray(prep["perm"]), perm)
+    np.testing.assert_array_equal(prep["perm_host"], perm)
+    np.testing.assert_array_equal(np.asarray(prep["bbox"]), bbox)
