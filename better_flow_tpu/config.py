@@ -104,6 +104,13 @@ class OptimizerConfig:
     # collisions (XLA scatter serializes colliding updates, which converged
     # slices produce) and measured 1.6x faster end to end on v5e.
     scatter_mode: str = "auto"
+    # Keep the low-order bf16 time row in the fused splat (hi+lo pair gives
+    # ~16-bit event-time precision; ops/pallas/fused_model._splat_window).
+    # False (fast schedule only — parity mode always splats the pair) drops
+    # it: times quantize to bf16 (~0.4 ms worst case on a 0.2 s slice) and
+    # the stacked MXU pass shrinks by a third.  Quality-gated against the
+    # full-precision fast schedule in tests/test_fast_schedule.py.
+    splat_time_lo: bool = True
     # Step-size schedule: "reference" transcribes the sign-flip divider
     # doubling of optimizer_rolling.h:60-111 (bisection-like, ~log2 steps
     # per parameter).  "fast" keeps the same per-iteration gradient signal
@@ -132,7 +139,7 @@ class OptimizerConfig:
         schedule's AEE, x4 changes nothing further — the 2-iteration floor
         binds)."""
         kw = dict(schedule="fast", dx_tol=2e-4, dy_tol=2e-4,
-                  rot_tol=2e-3, div_tol=2.0)
+                  rot_tol=2e-3, div_tol=2.0, splat_time_lo=False)
         kw.update(overrides)
         return cls(**kw)
 

@@ -578,11 +578,14 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         max_iter=cfg.max_iter, hard_cap=cfg.iter_hard_cap,
     )
 
+    time_lo = cfg.splat_time_lo or cfg.schedule != "fast"
+
     def body(carry):
         st, pr = carry
         if axis_name is None:
             npr, st2 = megastep_call(
-                stat, act, pr, st, geo, scale=scale, H=H, W=W, **statics
+                stat, act, pr, st, geo, scale=scale, H=H, W=W,
+                time_lo=time_lo, **statics
             )
         else:
             # Sharded megastep: shard-local warp+splat kernel -> one psum
@@ -591,7 +594,8 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
             # inputs after the psum, so the state and the convergence
             # decision stay exactly replicated with no extra collective).
             npr, acc_t, acc_c = warp_images_st_call(
-                stat, act, pr, st, geo, scale=scale, H=H, W=W
+                stat, act, pr, st, geo, scale=scale, H=H, W=W,
+                time_lo=time_lo,
             )
             acc_t = lax.psum(acc_t, axis_name)
             acc_c = lax.psum(acc_c, axis_name)

@@ -660,7 +660,7 @@ WC = 256   # window cols (multiple of 128)
 
 
 def _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo, r_lo, c_lo,
-                  rh: int, wc: int, HP: int, WP: int):
+                  rh: int, wc: int, HP: int, WP: int, lo: bool = True):
     """One chunk's one-hot contribution into acc[r_lo:+rh, c_lo:+wc]: three
     bf16 MXU passes (counts + hi/lo time weights).  The kernel is VPU-bound
     (one-hot construction), not MXU-bound, so the counts ride the SAME bf16
@@ -685,11 +685,23 @@ def _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo, r_lo, c_lo,
     # (each stacked row is exactly one of the original dots' rows), but a
     # single pipelined matmul — three small-M dots pay the MXU drain
     # latency three times per chunk.
-    lhs = jnp.concatenate([oh_r, oh_r * w_hi, oh_r * w_lo], axis=0)
+    # ``lo=False`` (OptimizerConfig.splat_time_lo=False, fast schedule only)
+    # drops the low-order time row: times quantize to bf16 (8-bit mantissa,
+    # ~0.4 ms worst-case on a 0.2 s slice) and the stacked pass shrinks from
+    # (3*rh, C) to (2*rh, C) — a third off the splat's MXU cost.  Gradients
+    # integrate the quantization over many pixels; the converged warp is
+    # quality-gated against the full-precision schedule in
+    # tests/test_fast_schedule.py.  Parity mode always keeps the pair.
+    if lo:
+        lhs = jnp.concatenate([oh_r, oh_r * w_hi, oh_r * w_lo], axis=0)
+    else:
+        lhs = jnp.concatenate([oh_r, oh_r * w_hi], axis=0)
     out = lax.dot_general(lhs, oh_cT, dn,
                           preferred_element_type=jnp.float32)
     contrib_c = out[:rh]
-    contrib_t = t0 * contrib_c + out[rh:2 * rh] + out[2 * rh:]
+    contrib_t = t0 * contrib_c + out[rh:2 * rh]
+    if lo:
+        contrib_t = contrib_t + out[2 * rh:]
     if rh == HP and wc == WP:
         acc_t[:, :] += contrib_t
         acc_c[:, :] += contrib_c
@@ -699,7 +711,7 @@ def _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo, r_lo, c_lo,
 
 
 def _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP: int, WP: int,
-                    fb=None):
+                    fb=None, lo: bool = True):
     """Shared window-placement + splat: picks an aligned (RH, WC) window from
     the chunk's accepted extent, falls back to the full joint on escape, and
     skips entirely when the chunk has no accepted events (padding tails).
@@ -729,26 +741,27 @@ def _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP: int, WP: int,
     t0 = t_sec[0, 0]
     tr = t_sec - t0
     w_hi = tr.astype(jnp.bfloat16)
-    w_lo = (tr - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w_lo = (tr - w_hi.astype(jnp.float32)).astype(jnp.bfloat16) if lo \
+        else None
 
     @pl.when(fits)
     def _windowed():
         _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo,
-                      r_lo, c_lo, RH, WC, HP, WP)
+                      r_lo, c_lo, RH, WC, HP, WP, lo=lo)
 
     @pl.when(row_only)
     def _row_band():
         if fb is not None:
             fb[0, 0] += jnp.float32(1)
         _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo,
-                      r_lo, 0, RH, WP, HP, WP)
+                      r_lo, 0, RH, WP, HP, WP, lo=lo)
 
     @pl.when(~row_fits & nonempty)
     def _full():
         if fb is not None:
             fb[0, 0] += jnp.float32(1)
         _splat_window(acc_t, acc_c, row, colr, t0, w_hi, w_lo,
-                      0, 0, HP, WP, HP, WP)
+                      0, 0, HP, WP, HP, WP, lo=lo)
 
 
 def _kernel_windowed(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref,
@@ -907,7 +920,7 @@ def _kernel_megastep(
     acc_t, acc_c, fb, *, scale: int, HP: int, WP: int, H: int, W: int,
     schedule: str, rot_tol: float, div_tol: float, dx_tol: float,
     dy_tol: float, xy_cap: float, rotdiv_cap: float, max_iter: int,
-    hard_cap: int,
+    hard_cap: int, time_lo: bool = True,
 ):
     pid = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -962,7 +975,8 @@ def _kernel_megastep(
     colr = jnp.where(ok, iy, -1)
 
     t_sec = t_ns / f32(1e9)
-    _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb)
+    _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb,
+                    lo=time_lo)
 
     @pl.when(pid == n_prog - 1)
     def _finish():
@@ -1139,7 +1153,8 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
 def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
                   schedule: str, rot_tol: float, div_tol: float,
                   dx_tol: float, dy_tol: float, xy_cap: float,
-                  rotdiv_cap: float, max_iter: int, hard_cap: int):
+                  rotdiv_cap: float, max_iter: int, hard_cap: int,
+                  time_lo: bool = True):
     """One full optimizer iteration as a single pallas_call.
 
     ``st`` is the (1, 32) SMEM state vector (ST_* layout above), ``geo`` the
@@ -1152,7 +1167,7 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
         _kernel_megastep, scale=scale, HP=HP, WP=WP, H=H, W=W,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
-        max_iter=max_iter, hard_cap=hard_cap,
+        max_iter=max_iter, hard_cap=hard_cap, time_lo=time_lo,
     )
     npr, st_out = pl.pallas_call(
         kern,
@@ -1269,7 +1284,7 @@ def warp_uv_call(stat, pr, dnx_, dny_, cx, cy, divp, crl):
 
 def _kernel_warp_images_st(
     geo_ref, st_ref, stat_ref, act_ref, pr_ref, npr_ref, acc_t, acc_c,
-    fb_ref, *, scale: int, HP: int, WP: int,
+    fb_ref, *, scale: int, HP: int, WP: int, time_lo: bool = True,
 ):
     pid = pl.program_id(0)
     half = scale // 2
@@ -1320,18 +1335,19 @@ def _kernel_warp_images_st(
     row = jnp.where(ok, ix, -1)
     colr = jnp.where(ok, iy, -1)
     t_sec = t_ns / f32(1e9)
-    _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb_ref)
+    _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb_ref,
+                    lo=time_lo)
 
 
 def warp_images_st_call(stat, act, pr, st, geo, *, scale: int, H: int,
-                        W: int):
+                        W: int, time_lo: bool = True):
     """Shard-local half of the sharded megastep.  Returns
     (new_pr, acc_t, acc_c) — the pre-filter images are linear in events,
     hence psum-combinable over the event mesh axis."""
     HP, WP = padded_image_shape(H, W)
     n_chunks = stat.shape[0]
     kern = functools.partial(_kernel_warp_images_st, scale=scale, HP=HP,
-                             WP=WP)
+                             WP=WP, time_lo=time_lo)
     npr, acc_t, acc_c, _fb = pl.pallas_call(
         kern,
         grid=(n_chunks,),
