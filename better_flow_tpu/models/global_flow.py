@@ -124,10 +124,11 @@ class SliceResult(NamedTuple):
     # the only per-slice noise SOURCE (optimizer_rolling.h:52-54), so slice
     # runtimes can reconstruct noise flags from this scalar history instead
     # of carrying a per-event global array (see scan_pipeline._scan_body)
-    seed: jnp.ndarray       # (8,) f32 [prev_g[4], prev_d[4]] at loop exit:
-    # the secant schedule's slope pair, carried across slices by the scan so
-    # a warm-started slice's FIRST step is already curvature-sized instead
-    # of a full divider-1 gradient step (zeros for the reference schedule)
+    seed: jnp.ndarray       # (8,) f32 [slope_mem[4], prev_d[4]] at exit:
+    # the secant schedule's slope memory, carried across slices by the scan
+    # so a warm-started slice's FIRST step is already curvature-sized
+    # instead of a full divider-1 gradient step (zeros for the reference
+    # schedule)
 
 
 def _iteration_step(
@@ -295,11 +296,14 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
     ``step_fn(state, update_fn)`` must apply ``update_fn(model, state) ->
     model`` in place of update_accumulators.
 
-    ``seed`` (optional (8,) f32 [prev_g[4], prev_d[4]]) warm-starts the
-    secant's slope pair from the previous slice's loop exit: with a valid
-    seed the FIRST step is already curvature-sized instead of the full
-    divider-1 gradient step.  Components with prev_d == 0 (including the
-    whole unseeded first call) take the reference step — so seed=None
+    ``seed`` (optional (8,) f32 [slope_mem[4], prev_d[4]]) warm-starts the
+    secant's SLOPE MEMORY from the previous slice's loop exit: curvature
+    is a stable property of the objective across slices, unlike a cross-
+    slice (g, d) difference quotient, which mixes in the objective shift
+    from ~40% new events per retrigger.  With a valid seeded slope the
+    FIRST step is already curvature-sized instead of the full divider-1
+    gradient step.  Components with no usable slope (including the whole
+    unseeded first call) take the reference step — so seed=None
     reproduces the original schedule exactly."""
     state = init._replace(
         x_div=jnp.float32(cfg.init_xy_divider),
@@ -308,19 +312,16 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
         div_div=jnp.float32(cfg.init_rotdiv_divider),
         iters=jnp.int32(0),
     )
-    if seed is None:
-        prev_g0 = jnp.zeros(4, jnp.float32)
-        prev_d0 = jnp.zeros(4, jnp.float32)
-    else:
-        prev_g0 = seed[:4]
-        prev_d0 = seed[4:]
+    prev_g0 = jnp.zeros(4, jnp.float32)
+    prev_d0 = jnp.zeros(4, jnp.float32)
+    slope0 = jnp.zeros(4, jnp.float32) if seed is None else seed[:4]
 
     tol = jnp.array(
         [cfg.rot_tol, cfg.div_tol, cfg.dx_tol, cfg.dy_tol], jnp.float32
     )
 
     def cond(carry):
-        s, g, prev_d = carry
+        s, g, prev_d, _sl = carry
         small = jnp.all(jnp.abs(prev_d) < tol)
         # A seeded first step can look converged against a STALE cross-slice
         # slope; refresh the slope pair in-slice once before allowing the
@@ -339,20 +340,44 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
         return ~small & ~over_max & (s.iters < cfg.iter_hard_cap)
 
     def body(carry):
-        s, prev_g, prev_d = carry
+        s, prev_g, prev_d, slope_mem = carry
+
+        def two_point(g):
+            # In-slice two-point slope when a real previous step exists on
+            # THIS objective; when the quotient is unusable (no step yet,
+            # or non-concave), the carried slope memory fills in — on
+            # smooth streams the memory is accurate and skips the
+            # divider-1 flailing (bench mean_iters 3.94 -> 2.6).  Stale
+            # slopes carry a tighter trust region (see ``lim`` below), so
+            # small noisy windows cannot thrash on them
+            # (test_fast_small_sensor_quality_bounded).
+            slope2 = (g - prev_g) / prev_d
+            stepped = jnp.abs(prev_d) > 0
+            valid2 = stepped & jnp.isfinite(slope2) & (slope2 < 0)
+            step_slope = jnp.where(valid2, slope2, slope_mem)
+            return step_slope, valid2
 
         def update(model, st):
             g = jnp.stack([model.rot, model.div, model.dx, model.dy])
             ref = g / jnp.stack(
                 [st.rot_div, st.div_div, st.x_div, st.y_div]
             )
-            slope = (g - prev_g) / prev_d
+            # In-slice two-point slope when a real previous step exists on
+            # THIS objective; otherwise the carried slope memory.
+            slope, valid2 = two_point(g)
             # 0.9 damping: the slope is a noisy two-point estimate on a
             # non-quadratic objective; biasing toward undershoot costs ~1
             # iteration but avoids basin-hopping on small/noisy windows.
             newton = -0.9 * g / slope
-            lim = 4.0 * jnp.abs(ref)
-            ok = (slope < 0) & jnp.isfinite(newton) & (jnp.abs(prev_d) > 0)
+            # Trust region: a fresh in-slice quotient earns 4x the
+            # reference step; a carried/stale slope only 1x — on small
+            # noisy windows repeated memory-driven overshoots at 4x ref
+            # thrash for tens of iterations, while clamping them to the
+            # reference schedule's own step scale bounds the damage and
+            # costs nothing on smooth streams (near convergence g, and
+            # hence ref, is already small).
+            lim = jnp.where(valid2, 4.0, 1.0) * jnp.abs(ref)
+            ok = (slope < 0) & jnp.isfinite(newton)
             delta = jnp.where(ok, jnp.clip(newton, -lim, lim), ref)
             return model.add_totals(delta[0], delta[1], delta[2], delta[3])
 
@@ -361,6 +386,7 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
         m = s.model
         g = jnp.stack([m.rot, m.div, m.dx, m.dy])
         d = _totals4(m) - tot_before
+        slope_mem, _ = two_point(g)
         # Keep the reference's divider doubling so the FALLBACK step keeps
         # shrinking on oscillation (it is also the secant's clamp scale).
         # Gated per component on a real previous step (|prev_d| > 0), which
@@ -375,13 +401,14 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
             rot_div=dbl(s.rot_div, m.rot, prev_g[0], pdg[0]),
             div_div=dbl(s.div_div, m.div, prev_g[1], pdg[1]),
         )
-        return (s, g, d)
+        return (s, g, d, slope_mem)
 
-    # Unconditional first step (same body: an unseeded/zero prev_d routes
-    # every component to the reference step, as the original schedule did).
-    carry = body((state, prev_g0, prev_d0))
-    final, g, d = lax.while_loop(cond, body, carry)
-    return final, jnp.concatenate([g, d])
+    # Unconditional first step (same body: with no seed, zero prev_d and
+    # zero slope memory route every component to the reference step, as
+    # the original schedule did).
+    carry = body((state, prev_g0, prev_d0, slope0))
+    final, g, d, slope_mem = lax.while_loop(cond, body, carry)
+    return final, jnp.concatenate([slope_mem, d])
 
 
 def _drive_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
@@ -564,11 +591,14 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     vals[ST_DDIV] = jnp.float32(cfg.init_rotdiv_divider)
     vals[ST_CNT] = model0.cnt
     if seed is not None and cfg.schedule == "fast":
-        from better_flow_tpu.ops.pallas.fused_model import ST_PD, ST_PG
+        from better_flow_tpu.ops.pallas.fused_model import ST_SL
 
+        # Seed the SLOPE memory only (seed[:4]); prev_d stays zero so the
+        # first in-slice two-point quotient is marked invalid and the
+        # seeded curvature drives the first step (see ST_SL note in
+        # ops/pallas/fused_model.py).
         for k in range(4):
-            vals[ST_PG + k] = seed[k]
-            vals[ST_PD + k] = seed[4 + k]
+            vals[ST_SL + k] = seed[k]
     st0 = jnp.stack(vals).reshape(1, 32)
 
     statics = dict(
@@ -617,10 +647,10 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         comp_rot=st[0, ST_CROT], comp_div=st[0, ST_CDIV],
     )
     iters = st[0, ST_ITERS].astype(jnp.int32)
-    from better_flow_tpu.ops.pallas.fused_model import ST_PD, ST_PG
+    from better_flow_tpu.ops.pallas.fused_model import ST_PD, ST_SL
 
     seed_out = jnp.concatenate(
-        [st[0, ST_PG:ST_PG + 4], st[0, ST_PD:ST_PD + 4]]
+        [st[0, ST_SL:ST_SL + 4], st[0, ST_PD:ST_PD + 4]]
     )
 
     from better_flow_tpu.ops.pallas.fused_model import warp_uv_call

@@ -906,7 +906,11 @@ ST_TDX, ST_TDY, ST_TROT, ST_TDIV = 0, 1, 2, 3       # accumulated totals
 ST_CDX, ST_CDY, ST_CROT, ST_CDIV = 4, 5, 6, 7       # Kahan compensations
 ST_CX, ST_CY = 8, 9                                  # event-coord centroid
 ST_XDIV, ST_YDIV, ST_RDIV, ST_DDIV = 10, 11, 12, 13  # step dividers
-ST_PG = 14                                           # prev_g[4]: rot,div,dx,dy
+ST_SL = 14    # slope memory[4] (rot,div,dx,dy): last valid in-slice secant
+              # slope, carried ACROSS slices as the seed — curvature is a
+              # stable property of the objective, unlike the (g, d) pair,
+              # whose cross-slice difference quotient mixes in the
+              # objective shift from ~40% new events per retrigger.
 ST_PD = 18                                           # prev_d[4]: last deltas
 ST_ITERS = 22
 ST_CONT = 23                                         # while cond flag
@@ -1026,27 +1030,44 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
 
         if schedule == "fast":
             # Safeguarded secant (models/global_flow._fast_loop): Newton on
-            # the root of each gradient component, falling back to the
-            # reference step, clamped to 4x it.  The first call always takes
-            # the reference step (it seeds the secant's slope pair).
-            def secant(g, pg, pd, ref):
-                # pd == 0 (unseeded first call) routes to the reference
-                # step; a cross-slice seed (st carries the previous slice's
-                # slope pair) makes even the first step curvature-sized.
-                slope = (g - pg) / pd
+            # the root of each gradient component.  The slope comes from
+            # the in-slice two-point estimate when one exists (a real
+            # previous step on THIS slice's objective), else from the
+            # slope memory seeded by the previous slice (ST_SL) — so a
+            # warm-started slice's FIRST step is already curvature-sized.
+            # Falls back to the reference step when neither slope is
+            # usable, clamped to 4x it.  prev_g lives in the gradient
+            # slots (ST_ROT/ST_DIV/ST_DX/ST_DY hold last iteration's g).
+            def secant(g, pg, pd, sl, ref):
+                # Unusable quotients (no step yet, or non-concave) fall
+                # back to the carried slope memory, under a tighter trust
+                # region than fresh in-slice quotients.  Mirrors
+                # models/global_flow._fast_loop.two_point exactly.
+                slope2 = (g - pg) / pd
+                stepped = jnp.abs(pd) > 0
+                valid2 = stepped & jnp.isfinite(slope2) & (slope2 < 0)
+                slope = jnp.where(valid2, slope2, sl)
                 newton = -0.9 * g / slope
-                lim = 4.0 * jnp.abs(ref)
-                okp = (
-                    (slope < 0) & jnp.isfinite(newton) & (jnp.abs(pd) > 0)
-                )
-                return jnp.where(okp, jnp.clip(newton, -lim, lim), ref)
-
-            d_rot = secant(g_rot, st_ref[0, ST_PG + 0], st_ref[0, ST_PD + 0], ref_rot)
-            d_div = secant(g_div, st_ref[0, ST_PG + 1], st_ref[0, ST_PD + 1], ref_div)
-            d_dx = secant(g_dx, st_ref[0, ST_PG + 2], st_ref[0, ST_PD + 2], ref_dx)
-            d_dy = secant(g_dy, st_ref[0, ST_PG + 3], st_ref[0, ST_PD + 3], ref_dy)
+                # Trust region: fresh in-slice quotients earn 4x the
+                # reference step, carried/stale slopes only 1x (see
+                # models/global_flow._fast_loop).
+                lim = jnp.where(valid2, 4.0, 1.0) * jnp.abs(ref)
+                okp = (slope < 0) & jnp.isfinite(newton)
+                return jnp.where(okp, jnp.clip(newton, -lim, lim), ref), \
+                    slope
+            _pg = (st_ref[0, ST_ROT], st_ref[0, ST_DIV],
+                   st_ref[0, ST_DX], st_ref[0, ST_DY])
+            d_rot, sl_rot = secant(g_rot, _pg[0], st_ref[0, ST_PD + 0],
+                                   st_ref[0, ST_SL + 0], ref_rot)
+            d_div, sl_div = secant(g_div, _pg[1], st_ref[0, ST_PD + 1],
+                                   st_ref[0, ST_SL + 1], ref_div)
+            d_dx, sl_dx = secant(g_dx, _pg[2], st_ref[0, ST_PD + 2],
+                                 st_ref[0, ST_SL + 2], ref_dx)
+            d_dy, sl_dy = secant(g_dy, _pg[3], st_ref[0, ST_PD + 3],
+                                 st_ref[0, ST_SL + 3], ref_dy)
         else:
             d_rot, d_div, d_dx, d_dy = ref_rot, ref_div, ref_dx, ref_dy
+            sl_rot = sl_div = sl_dx = sl_dy = f32(0)
 
         # Kahan total += delta (core/model.add_totals).
         def kadd(total, comp, delta):
@@ -1062,9 +1083,12 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
         # Divider doubling on sign flips vs the previous iteration's deltas
         # (optimizer_rolling.h:98-101); gated per component on a real
         # previous step (|prev_d| > 0 — no-op on the unseeded first call).
+        _pgd = (st_ref[0, ST_ROT], st_ref[0, ST_DIV],
+                st_ref[0, ST_DX], st_ref[0, ST_DY])
+
         def dbl(div, g, k):
             gate = (jnp.abs(st_ref[0, ST_PD + k]) > 0) & (
-                g * st_ref[0, ST_PG + k] < 0
+                g * _pgd[k] < 0
             )
             return jnp.where(gate, div * 2.0, div)
 
@@ -1130,10 +1154,10 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
         st_out_ref[0, ST_YDIV] = y_div
         st_out_ref[0, ST_RDIV] = rot_div
         st_out_ref[0, ST_DDIV] = div_div
-        st_out_ref[0, ST_PG + 0] = g_rot
-        st_out_ref[0, ST_PG + 1] = g_div
-        st_out_ref[0, ST_PG + 2] = g_dx
-        st_out_ref[0, ST_PG + 3] = g_dy
+        st_out_ref[0, ST_SL + 0] = sl_rot
+        st_out_ref[0, ST_SL + 1] = sl_div
+        st_out_ref[0, ST_SL + 2] = sl_dx
+        st_out_ref[0, ST_SL + 3] = sl_dy
         st_out_ref[0, ST_PD + 0] = d_rot
         st_out_ref[0, ST_PD + 1] = d_div
         st_out_ref[0, ST_PD + 2] = d_dx
