@@ -130,14 +130,17 @@ class OptimizerConfig:
     @classmethod
     def fast(cls, **overrides) -> "OptimizerConfig":
         """The canonical fast preset used by bench.py: secant schedule with
-        20x relaxed convergence tolerances.  The reference's tolerances
-        demand 1e-5 px warp precision — two orders below anything visible
-        in the flow; relaxing them to 2e-4 cuts iterations a further ~35%
-        at <0.05% of mean speed flow deviation and equal-or-better accuracy
-        vs ground truth (quality-gated in tests/test_fast_schedule.py;
-        sweep: x2 on the 1e-4 tolerances still beats the reference
-        schedule's AEE, x4 changes nothing further — the 2-iteration floor
-        binds)."""
+        20x relaxed convergence tolerances and the 2-row bf16 splat
+        (splat_time_lo=False).  The reference's tolerances demand 1e-5 px
+        warp precision — two orders below anything visible in the flow;
+        relaxing them to 2e-4 cuts iterations a further ~35% at <0.05% of
+        mean speed flow deviation and equal-or-better accuracy vs ground
+        truth (quality-gated in tests/test_fast_schedule.py; sweep: x2 on
+        the 1e-4 tolerances still beats the reference schedule's AEE, x4
+        changes nothing further — the 2-iteration floor binds).  The 2-row
+        splat drops the low-order time row of the fused kernel's stacked
+        MXU pass (converged flow agrees with the hi+lo pair to 4 decimals
+        on the quality stream; parity mode always keeps the pair)."""
         kw = dict(schedule="fast", dx_tol=2e-4, dy_tol=2e-4,
                   rot_tol=2e-3, div_tol=2.0, splat_time_lo=False)
         kw.update(overrides)

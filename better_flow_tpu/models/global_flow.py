@@ -413,8 +413,9 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
 
 def _drive_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
     """Dispatch on the configured schedule.  ``step_fn(state, update_fn)``.
-    Returns (final_state, seed_out) where seed_out is the secant slope pair
-    at exit ((8,) zeros for the reference schedule)."""
+    Returns (final_state, seed_out) where seed_out is the secant slope
+    memory + last deltas at exit ((8,) zeros for the reference
+    schedule)."""
     if cfg.schedule == "fast":
         return _fast_loop(init, step_fn, cfg, seed=seed)
     return (_adaptive_loop(init, lambda s: step_fn(s, None), cfg),

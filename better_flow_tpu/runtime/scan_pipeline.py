@@ -248,7 +248,7 @@ def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, init_model,
             noise |= ws_h[j] & (sidx >= st_h[j]) & (sidx <= en_h[j])
         ev = EventSlice(x=sx, y=sy, t=st, valid=valid, noise=noise & valid)
         # slices were spatially pre-sorted on the host (materialize_slices);
-        # ``sd`` carries the secant slope pair across slices (fast schedule
+        # ``sd`` carries the secant slope memory across slices (fast schedule
         # only — the reference schedule returns and ignores zeros).
         res = process_slice(ev, model, opt, sensor, warm_start=warm,
                             presorted=True, stat3=stat3,
