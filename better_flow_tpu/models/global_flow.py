@@ -321,8 +321,7 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
     )
 
     def cond(carry):
-        s, g, prev_d, _sl = carry
-        small = jnp.all(jnp.abs(prev_d) < tol)
+        s, g, prev_d, _sl, exit_small = carry
         # A seeded first step can look converged against a STALE cross-slice
         # slope; refresh the slope pair in-slice once before allowing the
         # exit test (costs nothing unseeded: step 1 is the full reference
@@ -335,12 +334,12 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
             jnp.abs(g) / jnp.stack([s.rot_div, s.div_div, s.x_div, s.y_div])
             < 4.0 * tol
         )
-        small = small & ((s.iters >= 2) | ref_small)
+        small = exit_small & ((s.iters >= 2) | ref_small)
         over_max = (cfg.max_iter > 0) & (s.iters > cfg.max_iter)
         return ~small & ~over_max & (s.iters < cfg.iter_hard_cap)
 
     def body(carry):
-        s, prev_g, prev_d, slope_mem = carry
+        s, prev_g, prev_d, slope_mem, _es = carry
 
         def two_point(g):
             # In-slice two-point slope when a real previous step exists on
@@ -401,13 +400,31 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
             rot_div=dbl(s.rot_div, m.rot, prev_g[0], pdg[0]),
             div_div=dbl(s.div_div, m.div, prev_g[1], pdg[1]),
         )
-        return (s, g, d, slope_mem)
+        # Per-component exit decision for THIS step (consumed by cond).
+        # Small DELTAS alone are not convergence: a secant step sized by an
+        # overestimated slope (stale cross-slice memory, or a plateau
+        # making the in-slice quotient (g_k - g_{k-1})/d steep while g
+        # stays large) can be sub-tolerance far from the optimum, and
+        # those small-but-persistent steps compound over many
+        # reference-schedule iterations (off-bench rotdiv AEE 1.081 vs
+        # 0.691 before this gate).  Each component must also pass the
+        # reference-step gradient test |g|/divider < factor*tol — the
+        # parity schedule's own convergence test, post-doubling dividers.
+        # (Exempting fresh-quotient components was tried and rejected: the
+        # harmful exits ride fresh quotients too, and it saved nothing.)
+        exit_c = jnp.abs(d) < tol
+        if cfg.exit_grad_factor > 0:
+            gref = jnp.abs(g) / jnp.stack(
+                [s.rot_div, s.div_div, s.x_div, s.y_div])
+            exit_c = exit_c & (gref < cfg.exit_grad_factor * tol)
+        exit_small = jnp.all(exit_c)
+        return (s, g, d, slope_mem, exit_small)
 
     # Unconditional first step (same body: with no seed, zero prev_d and
     # zero slope memory route every component to the reference step, as
     # the original schedule did).
-    carry = body((state, prev_g0, prev_d0, slope0))
-    final, g, d, slope_mem = lax.while_loop(cond, body, carry)
+    carry = body((state, prev_g0, prev_d0, slope0, jnp.bool_(False)))
+    final, g, d, slope_mem, _es = lax.while_loop(cond, body, carry)
     return final, jnp.concatenate([slope_mem, d])
 
 
@@ -472,8 +489,18 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     is simply the first call's warp with the carried-in model, and the loop
     exits with pr one warp behind the model; a single XLA
     project_4param_reinit epilogue applies the final warp and recovers the
-    direction vectors (nx, ny) for compute_uv.  Per-event results are
-    bit-identical to the composed path (same f32 op order throughout).
+    direction vectors (nx, ny) for compute_uv.  Per-event results match
+    the composed path to ulp-level per iteration: the written op sequence
+    is identical, but XLA contracts the 3-term rot/div gradient
+    expressions differently in different compilation contexts (measured:
+    identical splat outputs and dx/dy, rot/div g differing by <=7 ulps on
+    CPU between the megastep and the composed kernels), and near-tolerance
+    convergence exits amplify those ulps into occasional per-slice
+    iteration-count differences over warm-start chains.  The same
+    mechanism bounds sharded-vs-single parity (see
+    tests/test_sharded_pallas.py); schedule-logic parity between the
+    hand-mirrored copies is pinned by
+    tests/test_fast_schedule.py::test_megastep_fast_matches_composed.
 
     Returns (model, pr_x, pr_y, nx, ny, iters)."""
     from better_flow_tpu.ops.pallas.fused_model import (
@@ -498,7 +525,7 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     # chain between kernel calls costs tens of us per iteration on v5e
     # (bench_probes "scalar-glue").  The event-parallel path keeps the psum
     # seam below; custom carriers (f64 totals) keep the composed scalars.
-    if (cfg.schedule in ("reference", "fast")
+    if (cfg.use_megastep and cfg.schedule in ("reference", "fast")
             and model0.total_dx.dtype == jnp.float32):
         return _run_fused_mega(ev, geom, model0, cfg, scale, H, W, stat,
                                act, seed=seed, axis_name=axis_name)
@@ -559,8 +586,16 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     """Megastep driver: while_loop whose body is one pallas_call carrying an
     SMEM (1, 32) scalar state (ops/pallas/fused_model.ST_* layout) plus the
     chunked positions; cond reads the kernel-computed continue flag.  The
-    in-kernel update replicates _adaptive_loop/_fast_loop exactly (same f32
-    op order), so results match the composed path bit for bit."""
+    in-kernel update replicates _adaptive_loop/_fast_loop's logic exactly
+    (same written op sequence); results agree with the composed path to
+    ulp-level per iteration when the splat keeps the hi+lo time pair (XLA
+    contracts the rot/div gradient expressions context-dependently — see
+    _run_fused's docstring for the measured bound).  Under
+    OptimizerConfig.fast() the megastep additionally splats only 2 rows
+    (times quantized to bf16) while the composed pallas kernels always
+    splat the pair, so the two pallas paths intentionally diverge at
+    ~bf16 time precision there (quality-gated in
+    tests/test_fast_schedule.py)."""
     from better_flow_tpu.ops.pallas.fused_model import (
         ST_CDIV, ST_CDX, ST_CDY, ST_CNT, ST_CONT, ST_CROT, ST_CX, ST_CY,
         ST_DDIV, ST_DIV, ST_DX, ST_DY, ST_ITERS, ST_RDIV, ST_ROT, ST_TDIV,
@@ -607,6 +642,7 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         dx_tol=cfg.dx_tol, dy_tol=cfg.dy_tol,
         xy_cap=cfg.xy_divider_cap, rotdiv_cap=cfg.rotdiv_divider_cap,
         max_iter=cfg.max_iter, hard_cap=cfg.iter_hard_cap,
+        exit_grad=cfg.exit_grad_factor,
     )
 
     time_lo = cfg.splat_time_lo or cfg.schedule != "fast"

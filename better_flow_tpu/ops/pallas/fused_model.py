@@ -914,7 +914,9 @@ ST_SL = 14    # slope memory[4] (rot,div,dx,dy): last valid in-slice secant
 ST_PD = 18                                           # prev_d[4]: last deltas
 ST_ITERS = 22
 ST_CONT = 23                                         # while cond flag
-ST_DX, ST_DY, ST_ROT, ST_DIV = 24, 25, 26, 27        # last raw deltas
+ST_DX, ST_DY, ST_ROT, ST_DIV = 24, 25, 26, 27        # last gradient g
+              # (dx,dy,rot,div) — read back as prev_g by the fast secant's
+              # two-point quotient and by the divider-doubling sign gate.
 ST_CNT = 28
 ST_FB = 29                                           # fallback chunks (cum.)
 
@@ -924,7 +926,7 @@ def _kernel_megastep(
     acc_t, acc_c, fb, *, scale: int, HP: int, WP: int, H: int, W: int,
     schedule: str, rot_tol: float, div_tol: float, dx_tol: float,
     dy_tol: float, xy_cap: float, rotdiv_cap: float, max_iter: int,
-    hard_cap: int, time_lo: bool = True,
+    hard_cap: int, time_lo: bool = True, exit_grad: float = 0.0,
 ):
     pid = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -990,7 +992,7 @@ def _kernel_megastep(
             schedule=schedule, rot_tol=rot_tol, div_tol=div_tol,
             dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
             rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
-            y_sh=y_sh,
+            y_sh=y_sh, exit_grad=exit_grad,
         )
 
 
@@ -998,7 +1000,7 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
                         scale: int, schedule: str, rot_tol: float,
                         div_tol: float, dx_tol: float, dy_tol: float,
                         xy_cap: float, rotdiv_cap: float, max_iter: int,
-                        hard_cap: int, y_sh):
+                        hard_cap: int, y_sh, exit_grad: float = 0.0):
     """The scalar model update + convergence predicate shared by the
     single-device megastep (run in its final grid step) and the sharded
     finish kernel (run on the psum'd images): model_from_partials, both
@@ -1122,6 +1124,19 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
                 (jnp.abs(d_rot) < rot_tol) & (jnp.abs(d_div) < div_tol)
                 & (jnp.abs(d_dx) < dx_tol) & (jnp.abs(d_dy) < dy_tol)
             ) & ((new_iters >= 2) | ref_small)
+            if exit_grad > 0:
+                # Gradient-qualified exit (mirrors _fast_loop.cond): a
+                # trust-region-clamped secant step can be sub-tolerance
+                # while the gradient is still large; require the
+                # reference step |g|/divider (post-doubling dividers,
+                # same as the JAX copy) below exit_grad * tol too.
+                grad_ok = (
+                    (jnp.abs(g_rot / rot_div) < exit_grad * rot_tol)
+                    & (jnp.abs(g_div / div_div) < exit_grad * div_tol)
+                    & (jnp.abs(g_dx / x_div) < exit_grad * dx_tol)
+                    & (jnp.abs(g_dy / y_div) < exit_grad * dy_tol)
+                )
+                small = small & grad_ok
             cont = (~small) & (~over_max) & under_cap
         else:
             dividers_open = (
@@ -1178,7 +1193,7 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
                   schedule: str, rot_tol: float, div_tol: float,
                   dx_tol: float, dy_tol: float, xy_cap: float,
                   rotdiv_cap: float, max_iter: int, hard_cap: int,
-                  time_lo: bool = True):
+                  time_lo: bool = True, exit_grad: float = 0.0):
     """One full optimizer iteration as a single pallas_call.
 
     ``st`` is the (1, 32) SMEM state vector (ST_* layout above), ``geo`` the
@@ -1192,6 +1207,7 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
         max_iter=max_iter, hard_cap=hard_cap, time_lo=time_lo,
+        exit_grad=exit_grad,
     )
     npr, st_out = pl.pallas_call(
         kern,
@@ -1413,6 +1429,7 @@ def _kernel_finish_st(
     HP: int, WP: int, H: int, W: int, schedule: str, rot_tol: float,
     div_tol: float, dx_tol: float, dy_tol: float, xy_cap: float,
     rotdiv_cap: float, max_iter: int, hard_cap: int,
+    exit_grad: float = 0.0,
 ):
     vals = _finish_values(acc_t_ref, acc_c_ref, scale, HP, WP, H, W)
     _model_update_phase(
@@ -1420,7 +1437,7 @@ def _kernel_finish_st(
         scale=scale, schedule=schedule, rot_tol=rot_tol, div_tol=div_tol,
         dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
         rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
-        y_sh=geo_ref[0, 1],
+        y_sh=geo_ref[0, 1], exit_grad=exit_grad,
     )
 
 
@@ -1428,7 +1445,7 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
                          W: int, schedule: str, rot_tol: float,
                          div_tol: float, dx_tol: float, dy_tol: float,
                          xy_cap: float, rotdiv_cap: float, max_iter: int,
-                         hard_cap: int):
+                         hard_cap: int, exit_grad: float = 0.0):
     """Finish + model update on (psum'd) pre-filter images: the replicated
     second half of the sharded megastep.  Returns the next ST_* state."""
     HP, WP = acc_t.shape
@@ -1436,7 +1453,7 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
         _kernel_finish_st, scale=scale, HP=HP, WP=WP, H=H, W=W,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
-        max_iter=max_iter, hard_cap=hard_cap,
+        max_iter=max_iter, hard_cap=hard_cap, exit_grad=exit_grad,
     )
     return pl.pallas_call(
         kern,

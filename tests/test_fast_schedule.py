@@ -76,6 +76,171 @@ def test_fast_small_sensor_quality_bounded():
     assert fast["iters"].sum() <= 1.1 * ref["iters"].sum()
 
 
+def _prod_cfg(sched):
+    opt = (OptimizerConfig.fast() if sched == "fast"
+           else OptimizerConfig(schedule="reference"))
+    return PipelineConfig(optimizer=opt)
+
+
+def _aee_med(out, d, extra_mask=None):
+    m = ~out["noise"]
+    if extra_mask is not None:
+        m &= extra_mask
+    return float(np.median(
+        np.hypot(out["u"][m] - d["u"][m], out["v"][m] - d["v"][m])))
+
+
+def test_fast_offbench_rotdiv_scene():
+    """Off-bench gate 1 (round-2 verdict): a rot/div-dominated production-
+    sensor scene with a seed different from bench.py's 42.  Rotation-heavy
+    warm-start chains are chaotic, so per-event flow parity vs the
+    reference schedule is not an honest gate — accuracy vs ground truth
+    and the iteration budget are."""
+    d = synthetic_events(150_000, duration_s=0.2, res_x=180, res_y=240,
+                         vx=10.0, vy=8.0, rot=0.6, div=0.12,
+                         n_points=600, seed=777)
+    ref = compensate_recording_scan(d["x"], d["y"], d["t_ns"],
+                                    _prod_cfg("reference"))
+    fast = compensate_recording_scan(d["x"], d["y"], d["t_ns"],
+                                     _prod_cfg("fast"))
+    assert _aee_med(fast, d) <= 1.05 * _aee_med(ref, d), (
+        _aee_med(fast, d), _aee_med(ref, d))
+    assert fast["iters"].sum() <= ref["iters"].sum(), (
+        int(fast["iters"].sum()), int(ref["iters"].sum()))
+
+
+def test_fast_offbench_noisy_stream():
+    """Off-bench gate 2: the dvs_sim sensor-realistic stream (threshold
+    mismatch, refractory, BA noise, hot pixels, bursts) with an off-bench
+    seed.  fast() carries a known, documented ~1.05-1.16x AEE trade-off
+    across noisy-stream seeds (OptimizerConfig.fast docstring) — the gate
+    bounds it at 1.2x on this seed so regressions beyond the documented
+    band fail.  fast_accurate() must hold reference-equal accuracy on the
+    same stream.  Neither may blow the iteration budget."""
+    from better_flow_tpu.io.dvs_sim import dvs_events
+
+    d = dvs_events(120_000, duration_s=0.25, res_x=180, res_y=240,
+                   vx=45.0, vy=-30.0, rot=0.1, div=0.04, seed=31)
+    sig = ~d["is_noise"]
+    ref = compensate_recording_scan(d["x"], d["y"], d["t_ns"],
+                                    _prod_cfg("reference"))
+    fast = compensate_recording_scan(d["x"], d["y"], d["t_ns"],
+                                     _prod_cfg("fast"))
+    acc = compensate_recording_scan(
+        d["x"], d["y"], d["t_ns"],
+        PipelineConfig(optimizer=OptimizerConfig.fast_accurate()))
+    a_r = _aee_med(ref, d, sig)
+    a_f = _aee_med(fast, d, sig)
+    a_a = _aee_med(acc, d, sig)
+    assert a_f <= 1.2 * a_r, (a_f, a_r)
+    assert a_a <= 1.02 * a_r, (a_a, a_r)
+    assert fast["iters"].sum() <= ref["iters"].sum()
+    assert acc["iters"].sum() <= 0.7 * ref["iters"].sum()
+
+
+def test_megastep_fast_matches_composed_slice():
+    """The secant schedule exists in two hand-mirrored copies: the JAX
+    _fast_loop (models/global_flow.py) and the in-kernel _model_update_phase
+    (ops/pallas/fused_model.py) — the latter is what bench.py measures.
+    Compare them on the SAME Pallas splat (use_megastep switch, interpret
+    mode on CPU, hi+lo time pair) on one slice, unseeded and with an
+    explicit secant-slope seed.  The two compiled programs agree only to
+    ulp-level (XLA contracts the rot/div gradient expressions
+    context-dependently — see _run_fused's docstring), so the gates are
+    iteration-count equality plus tight total tolerances, not bitwise."""
+    import jax.numpy as jnp
+
+    from better_flow_tpu.core.events import make_slice
+    from better_flow_tpu.core.model import MotionModel
+    from better_flow_tpu.models.global_flow import process_slice
+
+    d = synthetic_events(3000, duration_s=0.1, res_x=24, res_y=32,
+                         n_points=60, seed=3, vx=8.0, vy=-5.0, rot=0.05,
+                         div=0.02)
+    ev = make_slice(d["x"], d["y"], d["t_ns"].astype(np.float64),
+                    capacity=3072)
+    mk = lambda mega, **kw: OptimizerConfig.fast(
+        scale=3, min_events=500, scatter_mode="pallas",
+        splat_time_lo=True, use_megastep=mega, **kw)
+    seeds = [None,
+             jnp.asarray([-2e3, -2e3, -40.0, -40.0, 0, 0, 0, 0], jnp.float32)]
+    for seed in seeds:
+        rc = process_slice(ev, MotionModel.zero(), mk(False),
+                           SensorConfig(24, 32), seed=seed)
+        rm = process_slice(ev, MotionModel.zero(), mk(True),
+                           SensorConfig(24, 32), seed=seed)
+        assert int(rm.iters) == int(rc.iters), (int(rm.iters), int(rc.iters))
+        for f in ("total_dx", "total_dy", "total_rot", "total_div"):
+            a = float(getattr(rc.model, f))
+            b = float(getattr(rm.model, f))
+            assert abs(a - b) <= 1e-4 * max(1.0, abs(a)), (f, a, b)
+        np.testing.assert_allclose(np.asarray(rm.u), np.asarray(rc.u),
+                                   rtol=1e-3, atol=1e-2)
+
+
+def test_megastep_fast_matches_composed_recording():
+    """Recording-level statistical equivalence of the two schedule copies
+    (same Pallas splat, hi+lo pair): per-slice iteration counts differ
+    occasionally (ulp-amplification through warm-start chains — the same
+    mechanism documented for sharded parity), but a LOGIC drift in either
+    copy (trust region, divider doubling, exit predicate, seed carry)
+    shifts the iteration total and accuracy far beyond these bands."""
+    d = synthetic_events(24000, duration_s=0.4, res_x=24, res_y=32,
+                         n_points=80, seed=7, vx=6.0, vy=-4.0, rot=0.1,
+                         div=0.04)
+    mk = lambda mega: _cfg("fast", scatter_mode="pallas",
+                           splat_time_lo=True, use_megastep=mega,
+                           dx_tol=1e-4, dy_tol=1e-4, rot_tol=1e-3,
+                           div_tol=1.0, exit_grad_factor=1.0)
+    comp = compensate_recording_scan(d["x"], d["y"], d["t_ns"], mk(False))
+    mega = compensate_recording_scan(d["x"], d["y"], d["t_ns"], mk(True))
+    np.testing.assert_array_equal(mega["noise"], comp["noise"])
+    it_m = int(mega["iters"].sum())
+    it_c = int(comp["iters"].sum())
+    assert 0.75 * it_c <= it_m <= 1.33 * it_c, (it_m, it_c)
+
+    def aee(out):
+        m = ~out["noise"]
+        return float(np.median(
+            np.hypot(out["u"][m] - d["u"][m], out["v"][m] - d["v"][m])))
+
+    assert aee(mega) <= 1.05 * aee(comp), (aee(mega), aee(comp))
+
+
+def test_fast_2row_splat_quality_pallas():
+    """The bench preset's splat_time_lo=False (2-row bf16 splat) only takes
+    effect on the Pallas megastep path — gate it there (interpret mode on
+    CPU): against the hi+lo pair the converged flow must agree to well
+    below the flow scale and accuracy vs ground truth must not degrade.
+    The scene keeps production-like motion scale (~25 px/s) on the small
+    sensor so the time gradients are meaningful; at crawl speeds the AEE
+    is noise-dominated and gates nothing."""
+    d = synthetic_events(24000, duration_s=0.4, res_x=24, res_y=32,
+                         n_points=80, seed=9, vx=20.0, vy=-15.0, rot=0.1,
+                         div=0.04)
+    mk = lambda lo: _cfg("fast", scatter_mode="pallas", splat_time_lo=lo)
+    hi_lo = compensate_recording_scan(d["x"], d["y"], d["t_ns"], mk(True))
+    two = compensate_recording_scan(d["x"], d["y"], d["t_ns"], mk(False))
+    ok = ~(hi_lo["noise"] | two["noise"])
+    speed = float(np.hypot(hi_lo["u"][ok], hi_lo["v"][ok]).mean())
+    # Flow deviation bound: on this deliberately adversarial regime (tiny
+    # 24x32 windows, 0.4 s of bf16-quantized time, slow ~7 px/s motion —
+    # the relative time-quantization error is ~10x the production
+    # stream's) the pair-vs-2-row median deviation measures ~2-3% of mean
+    # speed; the accuracy gates below are the real quality bar.
+    assert np.median(np.abs(two["u"][ok] - hi_lo["u"][ok])) < 0.05 * speed
+    assert np.median(np.abs(two["v"][ok] - hi_lo["v"][ok])) < 0.05 * speed
+
+    def aee(out):
+        m = ~out["noise"]
+        return float(np.median(
+            np.hypot(out["u"][m] - d["u"][m], out["v"][m] - d["v"][m])))
+
+    assert aee(two) <= 1.05 * aee(hi_lo), (aee(two), aee(hi_lo))
+    # bf16 time quantization must not change convergence behaviour much
+    assert two["iters"].sum() <= 1.2 * hi_lo["iters"].sum()
+
+
 def test_fast_degenerate_and_gates_identical():
     """The window/count gates and noise marking are schedule-independent."""
     rng = np.random.default_rng(0)

@@ -75,6 +75,57 @@ def test_flow_matches_reference(golden):
     assert np.corrcoef(out["v"][ok], ref["v"][ok])[0, 1] > 0.98
 
 
+def test_fast_flow_matches_reference_binary(golden):
+    """The bench preset (OptimizerConfig.fast(): secant schedule, 20x
+    tolerances) directly against the C++ binary — not merely against our
+    own reference schedule.  Tolerances widen slightly vs the parity-mode
+    golden (the preset converges to the same optimum within its relaxed
+    2e-4 px warp tolerance; reference-schedule-vs-binary already carries
+    ~2% median deviation)."""
+    from better_flow_tpu.config import OptimizerConfig, PipelineConfig
+    from better_flow_tpu.io.event_file import read_events, read_events_uv
+    from better_flow_tpu.runtime.scan_pipeline import compensate_recording_scan
+
+    rec = read_events(golden["rec"])
+    ref = read_events_uv(golden["ref_out"])
+    out = compensate_recording_scan(
+        rec["x"], rec["y"], rec["t_ns"],
+        PipelineConfig(optimizer=OptimizerConfig.fast()),
+    )
+    ok = ~out["noise"]
+    du = np.abs(out["u"][ok] - ref["u"][ok])
+    dv = np.abs(out["v"][ok] - ref["v"][ok])
+    speed = np.hypot(ref["u"][ok], ref["v"][ok]).mean()
+    assert np.median(du) < 0.03 * speed, (np.median(du), speed)
+    assert np.median(dv) < 0.03 * speed
+    assert np.corrcoef(out["u"][ok], ref["u"][ok])[0, 1] > 0.97
+    assert np.corrcoef(out["v"][ok], ref["v"][ok])[0, 1] > 0.97
+
+
+def test_fast_noisy_flow_matches_reference_binary(golden_noisy):
+    """Fast preset on the sensor-realistic noisy stream vs the C++ binary
+    (the round-2 verdict's missing gate: the noisy golden previously ran
+    parity mode only)."""
+    from better_flow_tpu.config import OptimizerConfig, PipelineConfig
+    from better_flow_tpu.io.event_file import read_events, read_events_uv
+    from better_flow_tpu.runtime.scan_pipeline import compensate_recording_scan
+
+    rec = read_events(golden_noisy["rec"])
+    ref = read_events_uv(golden_noisy["ref_out"])
+    out = compensate_recording_scan(
+        rec["x"], rec["y"], rec["t_ns"],
+        PipelineConfig(optimizer=OptimizerConfig.fast()),
+    )
+    ok = ~out["noise"]
+    assert ok.sum() > 10_000
+    c_u = np.corrcoef(out["u"][ok], ref["u"][ok])[0, 1]
+    c_v = np.corrcoef(out["v"][ok], ref["v"][ok])[0, 1]
+    assert c_u > 0.96, c_u
+    assert c_v > 0.96, c_v
+    speed = np.hypot(ref["u"][ok], ref["v"][ok]).mean()
+    assert np.median(np.abs(out["u"][ok] - ref["u"][ok])) < 0.06 * speed
+
+
 def test_compensated_image_psnr(golden):
     """Compensated count images from both flows must agree (PSNR gate) and
     both must be sharper than the uncompensated image."""
