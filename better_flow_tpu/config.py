@@ -151,17 +151,21 @@ class OptimizerConfig:
     def fast(cls, **overrides) -> "OptimizerConfig":
         """The canonical fast preset used by bench.py: secant schedule with
         20x relaxed convergence tolerances, the gradient-qualified exit at
-        exit_grad_factor=8, and the 2-row bf16 splat (splat_time_lo=False).
+        exit_grad_factor=4, and the 2-row bf16 splat (splat_time_lo=False).
         The reference's tolerances demand 1e-5 px warp precision — two
         orders below anything visible in the flow.  Round-2 shipped the
         20x tolerances with a delta-only exit; the round-3 off-bench gates
         caught that combination exiting at 1.56x AEE on a rot/div-dominated
         scene (a stale cross-slice slope can overestimate curvature so the
         secant step goes sub-tolerance while the gradient is still large),
-        which the gradient qualification fixes at ~+0.1 iterations/slice
-        on the bench stream (rotdiv AEE 0.701 vs reference schedule 0.691;
-        factor sweep: 4 -> +0.38 it/slice same quality, 16 -> rotdiv 1.09x
-        fails the gate).  Residual known trade-off: on
+        which the gradient qualification fixes at ~+0.4 iterations/slice
+        on the bench stream (rotdiv AEE 0.696 vs reference schedule 0.691).
+        Factor sweep: 8 halves the iteration cost but sits on a quality
+        cliff — on the dvs_sim noisy GOLDEN scene (seed 11) one bursty
+        slice exits between 4x and 8x tol and the warm-start chain then
+        diverges from the C++ binary (corr 0.9986 -> 0.48, signal AEE
+        0.116 -> 0.509); 16 also fails the rotdiv gate (1.09x).  4 holds
+        every gate with margin.  Residual known trade-off: on
         sensor-noise streams (dvs_sim) the preset measures ~1.05-1.16x the
         reference schedule's AEE across stream seeds (still ~0.4% of mean
         speed); use fast_accurate() when that matters.  The 2-row splat
@@ -170,7 +174,7 @@ class OptimizerConfig:
         the quality stream; parity mode always keeps the pair)."""
         kw = dict(schedule="fast", dx_tol=2e-4, dy_tol=2e-4,
                   rot_tol=2e-3, div_tol=2.0, splat_time_lo=False,
-                  exit_grad_factor=8.0)
+                  exit_grad_factor=4.0)
         kw.update(overrides)
         return cls(**kw)
 

@@ -91,8 +91,13 @@ def jit_event_parallel(cfg, sensor, mesh, warm_start=True):
     )
 
 
+def _carry_spec(carry0):
+    """Replicated partition specs for a make_carry tuple."""
+    return jax.tree_util.tree_map(lambda _: P(), carry0)
+
+
 @partial(jax.jit, static_argnames=("cfg", "hist_k", "mesh"))
-def _sharded_scan(xs, ys, ts, idx, starts, ends, bbox, nval, model0, cfg,
+def _sharded_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0, cfg,
                   hist_k, mesh: Mesh):
     """One compiled program: the slice scan with every slice's event slab
     sharded over mesh axis 'ev'.  The shard-local body is the SAME scan
@@ -102,68 +107,66 @@ def _sharded_scan(xs, ys, ts, idx, starts, ends, bbox, nval, model0, cfg,
     models.global_flow._run_fused)."""
     from better_flow_tpu.runtime.scan_pipeline import _run_scan
 
-    model_spec = jax.tree_util.tree_map(lambda _: P(), model0)
+    carry_spec = _carry_spec(carry0)
     body = partial(_run_scan, cfg=cfg, hist_k=hist_k, axis_name=AXIS)
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
                   P(None, AXIS), P(None), P(None), P(None), P(None),
-                  model_spec),
-        out_specs=(model_spec,
+                  carry_spec),
+        out_specs=(carry_spec,
                    (P(None, AXIS), P(None, AXIS), P(None, AXIS),
                     P(None), P(None)),
                    P()),
         check_vma=False,
-    )(xs, ys, ts, idx, starts, ends, bbox, nval, model0)
+    )(xs, ys, ts, idx, starts, ends, bbox, nval, carry0)
 
 
-def prepare_recording_sharded(x, y, t_ns, cfg, n_dev: int):
-    """Host-side staging for the sharded scan: the band-padded spatially
-    sorted slabs of scan_pipeline.materialize_slices, with the padded
-    capacity rounded to a multiple of n_dev * CHUNK so every device's shard
-    is chunk-aligned (chunk boundaries then coincide with row-band
-    boundaries on every shard, preserving the windowed kernel's locality)."""
-    import time as _time
+@partial(jax.jit, static_argnames=("cfg", "hist_k", "mesh"))
+def _sharded_scan_compact(xs16, ys16, ts, perm, starts, ends, bbox, nval,
+                          carry0, cfg, hist_k, mesh: Mesh):
+    """Compact-transfer sharded scan: u16 coordinate and permutation slabs
+    ride the host->device tunnel (10 B/slot instead of 16) and each shard
+    reconstructs its f32 views elementwise — the same encoding as
+    scan_pipeline._scan_slices_compact, sharded over 'ev'."""
+    from better_flow_tpu.runtime.scan_pipeline import PERM_SENTINEL, _run_scan
 
+    carry_spec = _carry_spec(carry0)
+
+    def body(xs16, ys16, ts, perm, starts, ends, bbox, nval, carry0):
+        valid = perm != PERM_SENTINEL
+        sidx = jnp.where(valid, starts[:, None] + perm.astype(jnp.int32), -1)
+        return _run_scan(xs16.astype(jnp.float32), ys16.astype(jnp.float32),
+                         ts, sidx, starts, ends, bbox, nval, carry0,
+                         cfg, hist_k, axis_name=AXIS)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                  P(None, AXIS), P(None), P(None), P(None), P(None),
+                  carry_spec),
+        out_specs=(carry_spec,
+                   (P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                    P(None), P(None)),
+                   P()),
+        check_vma=False,
+    )(xs16, ys16, ts, perm, starts, ends, bbox, nval, carry0)
+
+
+def prepare_recording_sharded(x, y, t_ns, cfg, n_dev: int, slice_range=None):
+    """Host-side staging for the sharded scan: delegates to
+    scan_pipeline.prepare_recording (native threaded counting sort +
+    pipelined compact u16 transfer) with the padded capacity rounded to a
+    multiple of n_dev * CHUNK so every device's shard is chunk-aligned
+    (chunk boundaries then coincide with row-band boundaries on every
+    shard, preserving the windowed kernel's locality)."""
     from better_flow_tpu.ops.pallas.fused_model import CHUNK
-    from better_flow_tpu.runtime.scan_pipeline import (
-        materialize_slices,
-        plan_slices,
-    )
+    from better_flow_tpu.runtime.scan_pipeline import prepare_recording
 
-    x = np.ascontiguousarray(x, np.float32)
-    y = np.ascontiguousarray(y, np.float32)
-    t_ns = np.ascontiguousarray(t_ns, np.int64)
-    t0 = _time.perf_counter()
-    plan = plan_slices(t_ns, cfg)
-    xs, ys, ts, idx, lens = materialize_slices(
-        x, y, t_ns, plan, cfg.slice.max_events,
-        band_pad=True, res_x=cfg.sensor.res_x,
-    )
-    S, capp = xs.shape
-    quantum = n_dev * CHUNK
-    target = -(-capp // quantum) * quantum
-    if target != capp:
-        padc = ((0, 0), (0, target - capp))
-        xs = np.pad(xs, padc)
-        ys = np.pad(ys, padc)
-        ts = np.pad(ts, padc)
-        idx = np.pad(idx, padc, constant_values=-1)
-    first_overlap = np.searchsorted(plan.ends, plan.starts)
-    hist_k = max(1, int(np.max(np.arange(S) - first_overlap, initial=1)))
-    from better_flow_tpu.runtime.scan_pipeline import host_bbox
-
-    bbox, lens = host_bbox(x, y, plan)
-    return {
-        "plan": plan, "n": len(x), "hist_k": hist_k, "idx_host": idx,
-        "bbox": jnp.asarray(bbox), "nval": jnp.asarray(lens),
-        "xs": jnp.asarray(xs), "ys": jnp.asarray(ys), "ts": jnp.asarray(ts),
-        "idx": jnp.asarray(idx),
-        "starts": jnp.asarray(plan.starts.astype(np.int32)),
-        "ends": jnp.asarray(plan.ends.astype(np.int32)),
-        "plan_s": _time.perf_counter() - t0,
-    }
+    return prepare_recording(x, y, t_ns, cfg, slice_range=slice_range,
+                             pad_quantum=n_dev * CHUNK)
 
 
 def compensate_recording_scan_sharded(
@@ -189,6 +192,11 @@ def compensate_recording_scan_sharded(
     """
     import time as _time
 
+    from better_flow_tpu.runtime.scan_pipeline import (
+        PERM_SENTINEL,
+        make_carry,
+    )
+
     n_dev = mesh.shape[AXIS]
     if prepared is None:
         prepared = prepare_recording_sharded(x, y, t_ns, cfg, n_dev)
@@ -196,16 +204,27 @@ def compensate_recording_scan_sharded(
     n_total = prepared["n"]
     S = len(plan.ends)
 
-    model0 = init_model or MotionModel.zero()
+    ws_h, st_h, en_h = prepared.get("hist0", (None, None, None))
+    carry0 = make_carry(init_model or MotionModel.zero(),
+                        prepared["hist_k"], ws_h=ws_h, st_h=st_h, en_h=en_h)
     t0 = _time.perf_counter()
-    final_model, (u, v, noise_s, iters, ran), chk = _sharded_scan(
-        prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
-        prepared["starts"], prepared["ends"],
-        prepared["bbox"], prepared["nval"], model0, cfg,
-        prepared["hist_k"], mesh,
-    )
+    if prepared["compact"]:
+        carry_out, (u, v, noise_s, iters, ran), chk = _sharded_scan_compact(
+            prepared["xs16"], prepared["ys16"], prepared["ts"],
+            prepared["perm"], prepared["starts"], prepared["ends"],
+            prepared["bbox"], prepared["nval"], carry0, cfg,
+            prepared["hist_k"], mesh,
+        )
+    else:
+        carry_out, (u, v, noise_s, iters, ran), chk = _sharded_scan(
+            prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
+            prepared["starts"], prepared["ends"],
+            prepared["bbox"], prepared["nval"], carry0, cfg,
+            prepared["hist_k"], mesh,
+        )
     float(np.asarray(chk))  # host fetch: forces true completion
     run_s = _time.perf_counter() - t0
+    final_model = carry_out[0]
 
     # First-slice-wins by ORIGINAL index (band-padded layouts interleave
     # padding inside the slice, so mask on idx >= 0, not a length prefix).
@@ -213,13 +232,19 @@ def compensate_recording_scan_sharded(
     v = np.asarray(v)
     noise_s = np.asarray(noise_s)
     idx_h = prepared["idx_host"]
+    perm_h = prepared.get("perm_host")
+    starts_h = plan.starts
     acc_u = np.zeros(n_total, np.float32)
     acc_v = np.zeros(n_total, np.float32)
     acc_noise = np.zeros(n_total, bool)
     seen = np.zeros(n_total, bool)
     for s in range(S):
-        m = idx_h[s] >= 0
-        orig = idx_h[s][m]
+        if idx_h is None:          # compact native path: idx deferred
+            m = perm_h[s] != PERM_SENTINEL
+            orig = starts_h[s] + perm_h[s][m].astype(np.int64)
+        else:
+            m = idx_h[s] >= 0
+            orig = idx_h[s][m]
         fresh = ~seen[orig]
         tgt = orig[fresh]
         acc_u[tgt] = u[s][m][fresh]
@@ -229,6 +254,7 @@ def compensate_recording_scan_sharded(
 
     return {
         "u": acc_u, "v": acc_v, "noise": acc_noise, "model": final_model,
+        "carry": carry_out,
         "iters": np.asarray(iters), "ran": np.asarray(ran),
         "stats": {
             "n_events": n_total, "n_slices": S, "n_devices": n_dev,

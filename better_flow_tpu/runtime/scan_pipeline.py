@@ -197,7 +197,26 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
 PERM_SENTINEL = np.uint16(0xFFFF)
 
 
-def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, init_model,
+def make_carry(init_model, hist_k: int, seed=None, ws_h=None, st_h=None,
+               en_h=None):
+    """Initial (or hand-off) scan carry: (model, secant seed, window_small
+    history, start history, end history).  The histories let a scan start
+    mid-recording with exact noise flags (slice s's events are noise iff
+    any of the last hist_k slices fired the window gate and the event's
+    original index falls in that slice's range); the model+seed continue
+    the warm-start chain.  This is the 15-scalar-plus-history hand-off of
+    multi-host range pipelining (parallel/multihost.py) and of the
+    batch-pipelined cold path."""
+    return (
+        init_model,
+        jnp.zeros(8, jnp.float32) if seed is None else seed,
+        jnp.zeros((hist_k,), bool) if ws_h is None else ws_h,
+        jnp.zeros((hist_k,), jnp.int32) if st_h is None else st_h,
+        jnp.full((hist_k,), -1, jnp.int32) if en_h is None else en_h,
+    )
+
+
+def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
               cfg: PipelineConfig, hist_k: int, axis_name=None):
     """Shared scan driver over reconstructed slice slabs.
 
@@ -260,34 +279,27 @@ def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, init_model,
         out = (res.u, res.v, res.noise, res.iters, res.ran)
         return (res.model, res.seed, ws_h, st_h, en_h), out
 
-    carry0 = (
-        init_model,
-        jnp.zeros(8, jnp.float32),
-        jnp.zeros((hist_k,), bool),
-        jnp.zeros((hist_k,), jnp.int32),
-        jnp.full((hist_k,), -1, jnp.int32),
-    )
     scan_inputs = (xs, ys, ts, idx, starts, ends, bbox, nval)
     if stat3_all is not None:
         scan_inputs = scan_inputs + (stat3_all,)
-    (final_model, *_), outs = lax.scan(step, carry0, scan_inputs)
+    final_carry, outs = lax.scan(step, carry0, scan_inputs)
     # Scalar checksum over the bulk outputs: fetching it to the host forces
     # true program completion (block_until_ready alone has shown async
     # under-measurement artifacts through the axon relay).
     chk = jnp.sum(outs[0]) + jnp.sum(outs[1])
     if axis_name is not None:
         chk = lax.psum(chk, axis_name)  # replicated scalar out of shard_map
-    return final_model, outs, chk
+    return final_carry, outs, chk
 
 
 @partial(
     jax.jit,
     static_argnames=("cfg", "hist_k"),
 )
-def _scan_slices(xs, ys, ts, idx, starts, ends, bbox, nval, init_model,
+def _scan_slices(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
                  cfg: PipelineConfig, hist_k: int):
     """One compiled program over all slices (full f32/i32 slab inputs)."""
-    return _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, init_model,
+    return _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
                      cfg, hist_k)
 
 
@@ -296,7 +308,7 @@ def _scan_slices(xs, ys, ts, idx, starts, ends, bbox, nval, init_model,
     static_argnames=("cfg", "hist_k"),
 )
 def _scan_slices_compact(xs16, ys16, ts, perm, starts, ends, bbox, nval,
-                         init_model, cfg: PipelineConfig, hist_k: int):
+                         carry0, cfg: PipelineConfig, hist_k: int):
     """Compact-transfer variant: the coordinate slabs ride as u16 and the
     original-index slab as a u16 in-slice offset (original index =
     starts[s] + perm, 0xFFFF = padding) — 10 B/slot instead of 16 across
@@ -309,21 +321,46 @@ def _scan_slices_compact(xs16, ys16, ts, perm, starts, ends, bbox, nval,
     sidx = jnp.where(valid, starts[:, None] + perm.astype(jnp.int32), -1)
     xs = xs16.astype(jnp.float32)
     ys = ys16.astype(jnp.float32)
-    return _run_scan(xs, ys, ts, sidx, starts, ends, bbox, nval, init_model,
+    return _run_scan(xs, ys, ts, sidx, starts, ends, bbox, nval, carry0,
                      cfg, hist_k)
 
 
-def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
+def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
+                      pad_quantum: int = 0):
     """Host-side preparation: trigger plan + slice tensors on device.
     Reusable across runs of the same recording (bench warmups).
 
     Prefers the compact transfer layout (recording once as u16/u16/u32 +
     one u16 permutation slab; see _scan_slices_compact) whenever the
     coordinates are integral u16 and every slice fits a u16 offset —
-    otherwise falls back to shipping full f32/i32 [S, CAP] slabs."""
+    otherwise falls back to shipping full f32/i32 [S, CAP] slabs.
+
+    ``slice_range=(lo, hi)`` stages only that contiguous range of the
+    global trigger plan (multi-host range ownership,
+    parallel/multihost.py): the plan, hist_k and the pre-range
+    window-gate history are still computed globally, so a range scan
+    started from ``prepared['carry0']`` reproduces the full scan's noise
+    flags and gate decisions exactly at the boundary.  ``pad_quantum``
+    rounds the padded capacity up to a multiple (event-parallel sharding
+    needs n_dev * CHUNK so chunk boundaries stay band-aligned per
+    shard)."""
     t_ns = np.ascontiguousarray(t_ns, np.int64)
     t0 = time.perf_counter()
-    plan = plan_slices(t_ns, cfg)
+    plan_full = plan_slices(t_ns, cfg)
+    S_full = len(plan_full.ends)
+    # Noise-history depth must be range-independent (carry shape is part
+    # of the hand-off contract): compute from the FULL plan.
+    first_overlap = np.searchsorted(plan_full.ends, plan_full.starts)
+    hist_k = max(1, int(np.max(np.arange(S_full) - first_overlap,
+                               initial=1)))
+    if slice_range is not None:
+        lo, hi = slice_range
+        plan = SlicePlan(starts=plan_full.starts[lo:hi],
+                         ends=plan_full.ends[lo:hi],
+                         slice_start_ns=plan_full.slice_start_ns[lo:hi])
+    else:
+        lo, hi = 0, S_full
+        plan = plan_full
 
     from better_flow_tpu.io import native as _native
     from better_flow_tpu.ops.pallas.fused_model import CHUNK
@@ -332,6 +369,8 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
     n_bands = max(cfg.sensor.res_x + band_rows - 1, band_rows) // band_rows
     cap = cfg.slice.max_events
     capp = -(-(cap + n_bands * (CHUNK - 1)) // CHUNK) * CHUNK
+    if pad_quantum:
+        capp = -(-capp // pad_quantum) * pad_quantum
 
     # Native single-pass staging (native/bf_native.cpp): coordinate
     # narrowing + validity in one C++ pass straight from the input dtype
@@ -358,11 +397,11 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
         host_parts, put_parts = [], []
         ok = True
         for b in range(n_batch):
-            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            b0, b1 = int(bounds[b]), int(bounds[b + 1])
             out = _native.materialize_bandpad_u16(
                 x16y16[0], x16y16[1], t_ns,
-                plan.starts[lo:hi], plan.ends[lo:hi],
-                plan.slice_start_ns[lo:hi],
+                plan.starts[b0:b1], plan.ends[b0:b1],
+                plan.slice_start_ns[b0:b1],
                 capp, band_rows, CHUNK, n_bands, cfg.sensor.res_y,
             )
             if out is None:
@@ -402,20 +441,43 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig):
         )
     capp_out = perm_n.shape[1] if native_out is not None else idx.shape[1]
     compact = compact and (capp_out < 0xFFFF)
-    # Noise-history depth: the furthest back any slice's events extend
-    # (slice s overlaps slice s' iff ends[s'] >= starts[s]; membership runs
-    # are contiguous).  Static per compiled program.
-    S = len(plan.ends)
-    first_overlap = np.searchsorted(plan.ends, plan.starts)
-    hist_k = max(1, int(np.max(np.arange(S) - first_overlap, initial=1)))
     if bbox_native is not None:
         bbox = bbox_native
         lens = (plan.ends - plan.starts + 1).astype(np.int32)
     else:
         bbox, lens = host_bbox(x, y, plan)
+    # Pre-range window-gate history for range scans: the window_small gate
+    # is purely geometric (bbox + min_window_fraction), so the gate
+    # outcomes of the hist_k slices BEFORE the range are host-computable —
+    # a range scan seeded with them reproduces the full scan's noise flags
+    # exactly across the boundary.
+    ws_h = np.zeros(hist_k, bool)
+    st_h = np.zeros(hist_k, np.int32)
+    en_h = np.full(hist_k, -1, np.int32)
+    if lo > 0:
+        scale = cfg.optimizer.scale
+        frac = cfg.optimizer.min_window_fraction
+        pre = range(max(0, lo - hist_k), lo)
+        for j, s in enumerate(reversed(pre)):
+            a, b = int(plan_full.starts[s]), int(plan_full.ends[s]) + 1
+            if x16y16 is not None:
+                xw, yw = x16y16[0][a:b], x16y16[1][a:b]
+            else:
+                xw, yw = x[a:b], y[a:b]
+            wx = scale * (int(xw.max()) - int(xw.min()))
+            wy = scale * (int(yw.max()) - int(yw.min()))
+            small = ((wx + scale) < (scale * cfg.sensor.res_x) // frac) and (
+                (wy + scale) < (scale * cfg.sensor.res_y) // frac)
+            k = hist_k - 1 - j
+            ws_h[k] = small
+            st_h[k] = plan_full.starts[s]
+            en_h[k] = plan_full.ends[s]
     prepared = {"plan": plan, "n": len(x), "compact": compact,
                 "idx_host": idx, "perm_host": perm_n if native_out is not None else None,
-                "hist_k": hist_k,
+                "hist_k": hist_k, "slice_range": (lo, hi),
+                "prev_end": int(plan_full.ends[lo - 1]) if lo > 0 else -1,
+                "hist0": (jnp.asarray(ws_h), jnp.asarray(st_h),
+                          jnp.asarray(en_h)),
                 "starts": jnp.asarray(plan.starts.astype(np.int32)),
                 "ends": jnp.asarray(plan.ends.astype(np.int32)),
                 "bbox": jnp.asarray(bbox), "nval": jnp.asarray(lens)}
@@ -454,6 +516,7 @@ def compensate_recording_scan(
     cfg: Optional[PipelineConfig] = None,
     init_model: Optional[MotionModel] = None,
     prepared: Optional[dict] = None,
+    carry_in=None,
 ) -> dict:
     """Process a whole recording with one device program.
 
@@ -461,6 +524,15 @@ def compensate_recording_scan(
     get_accumulated), per-slice stats, and timing that separates compile
     (first call) from steady-state execution.  Pass ``prepared`` from
     prepare_recording to reuse the host-side slicing across runs.
+
+    ``carry_in`` (a make_carry tuple) continues a warm-start chain from a
+    previous range — the multi-host hand-off; the result's ``carry``
+    holds the final carry for the next range.  When ``prepared`` was
+    staged with a slice_range, accumulation claims only events whose
+    FIRST containing slice is local (original index > the previous
+    range's last trigger), so per-range outputs from consecutive ranges
+    are disjoint and their elementwise union equals the full-recording
+    first-slice-wins result exactly.
     """
     cfg = cfg or PipelineConfig()
     if prepared is None:
@@ -469,45 +541,57 @@ def compensate_recording_scan(
     n = prepared["n"]
     t_plan = prepared["plan_s"]
 
-    if init_model is not None:
-        model0 = init_model
-    elif cfg.f64_totals:
-        if not jax.config.jax_enable_x64:
-            raise ValueError(
-                "cfg.f64_totals requires x64 mode (jax.experimental."
-                "enable_x64() or jax_enable_x64=True); without it the "
-                "f64 carry would silently downcast to f32"
-            )
-        model0 = MotionModel.zero(jnp.float64)
+    if carry_in is not None:
+        carry0 = carry_in
     else:
-        model0 = MotionModel.zero()
+        if init_model is not None:
+            model0 = init_model
+        elif cfg.f64_totals:
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "cfg.f64_totals requires x64 mode (jax.experimental."
+                    "enable_x64() or jax_enable_x64=True); without it the "
+                    "f64 carry would silently downcast to f32"
+                )
+            model0 = MotionModel.zero(jnp.float64)
+        else:
+            model0 = MotionModel.zero()
+        ws_h, st_h, en_h = prepared.get("hist0", (None, None, None))
+        carry0 = make_carry(model0, prepared["hist_k"], ws_h=ws_h,
+                            st_h=st_h, en_h=en_h)
     t_run0 = time.perf_counter()
     if prepared["compact"]:
-        final_model, (u, v, noise_s, iters, ran), chk = _scan_slices_compact(
+        carry_out, (u, v, noise_s, iters, ran), chk = _scan_slices_compact(
             prepared["xs16"], prepared["ys16"], prepared["ts"],
             prepared["perm"], prepared["starts"], prepared["ends"],
             prepared["bbox"], prepared["nval"],
-            model0, cfg, prepared["hist_k"],
+            carry0, cfg, prepared["hist_k"],
         )
     else:
-        final_model, (u, v, noise_s, iters, ran), chk = _scan_slices(
+        carry_out, (u, v, noise_s, iters, ran), chk = _scan_slices(
             prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
             prepared["starts"], prepared["ends"],
             prepared["bbox"], prepared["nval"],
-            model0, cfg, prepared["hist_k"],
+            carry0, cfg, prepared["hist_k"],
         )
     float(np.asarray(chk))  # host fetch: forces true completion (see _scan_slices)
     t_run = time.perf_counter() - t_run0
+    final_model = carry_out[0]
 
     # First-slice-wins accumulation by ORIGINAL index: slices are spatially
     # sorted, so entry j of slice s corresponds to original event
-    # idx[s, j], not plan.starts[s] + j.
+    # idx[s, j], not plan.starts[s] + j.  For a range scan, an event's
+    # FIRST containing slice is local iff its index is beyond the previous
+    # range's last trigger (slices tile the recording by trigger index;
+    # events below every slice start belong to no slice at all).
     u = np.asarray(u)
     v = np.asarray(v)
     noise_s = np.asarray(noise_s)
     idx_h = prepared["idx_host"]
     perm_h = prepared.get("perm_host")
     starts_h = plan.starts
+    lo = prepared.get("slice_range", (0, 0))[0]
+    claim_from = int(prepared["prev_end"]) + 1 if lo > 0 else 0
     acc_u = np.zeros(n, np.float32)
     acc_v = np.zeros(n, np.float32)
     acc_noise = np.zeros(n, bool)
@@ -520,7 +604,7 @@ def compensate_recording_scan(
         else:
             m = idx_h[s] >= 0      # band-padded layouts are not a prefix
             orig = idx_h[s][m]
-        fresh = ~seen[orig]
+        fresh = ~seen[orig] & (orig >= claim_from)
         tgt = orig[fresh]
         acc_u[tgt] = u[s][m][fresh]
         acc_v[tgt] = v[s][m][fresh]
@@ -532,6 +616,7 @@ def compensate_recording_scan(
         "v": acc_v,
         "noise": acc_noise,
         "model": final_model,
+        "carry": carry_out,
         "iters": np.asarray(iters),
         "ran": np.asarray(ran),
         "plan": plan,
