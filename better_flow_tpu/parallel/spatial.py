@@ -168,9 +168,16 @@ def _escape_lane(gx, gy, t, escaped, esc_cap: int):
 def _tiled_iteration(
     state, x, y, t, active, model, dividers, scale: int,
     tile_h: int, tile_w: int, halo: int, img_h: int, img_w: int,
-    esc_cap: int,
+    esc_cap: int, geom=None, update_fn=None,
 ):
-    """One optimizer iteration on a tiled image (see module docstring)."""
+    """One optimizer iteration on a tiled image (see module docstring).
+
+    ``geom`` (x_shift, y_shift, w_dyn, h_dyn — a SliceGeometry or tuple)
+    applies the untiled path's dynamic bbox-window shift and rejection
+    bounds (optimizer_rolling.h:279-283); None keeps the whole-sensor
+    window (zero shift) of the single-slice megapixel demo.  ``update_fn``
+    replaces update_accumulators for the fast schedule (see
+    models.global_flow._drive_loop)."""
     pr_x, pr_y = state
     x_div, y_div, rot_div, div_div = dividers
     ti = lax.axis_index(AX_X)
@@ -182,17 +189,31 @@ def _tiled_iteration(
     W = tile_w + 2 * halo
 
     # Scatter local events' centres into the padded local image.
-    # Global geometry: full-sensor image, zero shift (megapixel mode uses
-    # whole-sensor windows; the bbox-window refinement stays on the
-    # single-image paths).
     half = scale // 2
-    fx = pr_x * scale + half
-    fy = pr_y * scale + half
-    gx = fx.astype(jnp.int32)
-    gy = fy.astype(jnp.int32)
-    # Acceptance uses the TRUE scaled-sensor extent (res*scale), matching
-    # the untiled path regardless of tile rounding.
-    inb = active & (gx >= half) & (gx < img_h - half) & (gy >= half) & (gy < img_w - half)
+    if geom is None:
+        x_sh = jnp.float32(half)
+        y_sh = jnp.float32(half)
+        fx = pr_x * scale + x_sh
+        fy = pr_y * scale + y_sh
+        gx = fx.astype(jnp.int32)
+        gy = fy.astype(jnp.int32)
+        # Acceptance uses the TRUE scaled-sensor extent (res*scale),
+        # matching the untiled path regardless of tile rounding.
+        inb = (active & (gx >= half) & (gx < img_h - half)
+               & (gy >= half) & (gy < img_w - half))
+    else:
+        x_sh, y_sh, wd, hd = geom[0], geom[1], geom[2], geom[3]
+        fx = pr_x * scale + x_sh
+        fy = pr_y * scale + y_sh
+        gx = fx.astype(jnp.int32)   # trunc toward zero, like the C++ cast
+        gy = fy.astype(jnp.int32)
+        # The untiled kernel's acceptance (ops/time_image, fused kernels):
+        # half <= g < w_dyn + half in the shifted window frame.
+        inb = (
+            active
+            & (gx >= half) & (gx.astype(jnp.float32) < wd + half)
+            & (gy >= half) & (gy.astype(jnp.float32) < hd + half)
+        )
     lx = gx - row0 + halo
     ly = gy - col0 + halo
     in_halo = (lx >= 0) & (lx < H) & (ly >= 0) & (ly < W)
@@ -263,9 +284,12 @@ def _tiled_iteration(
         cx=cx_img, cy=cy_img, dx=terms.dx, dy=terms.dy,
         rot=terms.rot, div=terms.div, cnt=terms.cnt,
     )
-    model = model.update_accumulators(rot_div, div_div, x_div, y_div)
-    cx_ev = (model.cx - half) / scale
-    cy_ev = (model.cy - half) / scale
+    if update_fn is None:
+        model = model.update_accumulators(rot_div, div_div, x_div, y_div)
+    else:
+        model = update_fn(model)
+    cx_ev = (model.cx - x_sh) / scale
+    cy_ev = (model.cy - y_sh) / scale
     pr_x, pr_y, nx, ny = project_4param_reinit(
         x, y, t, pr_x, pr_y,
         -model.total_dx, -model.total_dy, cx_ev, cy_ev,
@@ -409,12 +433,20 @@ def bucket_events(x, y, t, res_x: int, scale: int, n_tiles_x: int, cap_per_tile:
 
 
 def bucket_events_2d(x, y, t, res_x: int, res_y: int, scale: int,
-                     n_tx: int, n_ty: int, cap_per_tile: int):
+                     n_tx: int, n_ty: int, cap_per_tile: int,
+                     on_overflow: str = "raise", idx=None):
     """Host-side bucketing by home tile (tx, ty) for a 2-D tile mesh:
-    returns [n_tx * n_ty * cap] arrays in device-major order (tx-major,
-    ty-minor — the flattened order of mesh axes (AX_X, AX_Y)), so sharding
-    the arrays with P((AX_X, AX_Y)) hands each device exactly the events
-    whose ORIGINAL pixel falls in its tile."""
+    returns (xs, ys, ts, ok[, idx_out]) as [n_tx * n_ty * cap] arrays in
+    device-major order (tx-major, ty-minor — the flattened order of mesh
+    axes (AX_X, AX_Y)), so sharding the arrays with P((AX_X, AX_Y)) hands
+    each device exactly the events whose ORIGINAL pixel falls in its tile.
+
+    Tile overflow is never silent: with ``on_overflow="raise"`` (default)
+    a too-small ``cap_per_tile`` raises with the required capacity; pass
+    ``cap_per_tile=None`` to auto-size to the fullest tile.  ``idx``
+    (optional per-event original indices) is bucketed alongside and
+    returned as a 5th array (-1 in padding slots) — what recording
+    pipelines need for first-slice-wins accumulation."""
     x = np.asarray(x, np.float32)
     y = np.asarray(y, np.float32)
     t = np.asarray(t, np.float32)
@@ -429,10 +461,22 @@ def bucket_events_2d(x, y, t, res_x: int, res_y: int, scale: int,
         home_y = np.zeros(len(x), np.int64)
     home = home_x * n_ty + home_y
     n_tiles = n_tx * n_ty
+    counts = np.bincount(home, minlength=n_tiles)
+    need = int(counts.max()) if len(x) else 0
+    if cap_per_tile is None:
+        cap_per_tile = max(need, 1)
+    elif need > cap_per_tile:
+        if on_overflow == "raise":
+            raise ValueError(
+                f"tile overflow: fullest tile holds {need} events > "
+                f"cap_per_tile {cap_per_tile}; pass cap_per_tile=None to "
+                f"auto-size"
+            )
     xs = np.zeros(n_tiles * cap_per_tile, np.float32)
     ys = np.zeros_like(xs)
     ts = np.zeros_like(xs)
     ok = np.zeros(n_tiles * cap_per_tile, bool)
+    idx_out = np.full(n_tiles * cap_per_tile, -1, np.int32)
     for tile in range(n_tiles):
         sel = np.nonzero(home == tile)[0][:cap_per_tile]
         base = tile * cap_per_tile
@@ -440,4 +484,260 @@ def bucket_events_2d(x, y, t, res_x: int, res_y: int, scale: int,
         ys[base : base + len(sel)] = y[sel]
         ts[base : base + len(sel)] = t[sel]
         ok[base : base + len(sel)] = True
+        if idx is not None:
+            idx_out[base : base + len(sel)] = np.asarray(idx)[sel]
+    if idx is not None:
+        return xs, ys, ts, ok, idx_out
     return xs, ys, ts, ok
+
+
+# --------------------------------------------------------------------------
+# Recording-level tiled pipeline (BASELINE.json config 5: megapixel stream
+# spatially tiled across a pod slice).  Same slice semantics as the untiled
+# scan (runtime/scan_pipeline): trigger plan, bbox-window geometry, the
+# window/min-event gates, warm-start model carry, secant seed carry and the
+# scalar noise history — but each slice's image lives tiled over the
+# ('tile_x', 'tile_y') mesh with halo exchange + the exact escape lane.
+
+def prepare_recording_tiled(x, y, t_ns, cfg, n_tx: int, n_ty: int,
+                            cap_per_tile=None):
+    """Host staging: trigger plan + per-slice per-tile bucketed slabs.
+
+    Auto-sizes ``cap_per_tile`` to the fullest (slice, tile) bucket when
+    None — bucketing never drops events (bucket_events_2d raises on
+    overflow otherwise).  Returns device-ready [S, NT*cap] slabs plus the
+    original-index matrix for first-slice-wins accumulation.  (This is a
+    numpy loop per slice — the tiled pipeline's staging is not on the
+    cold-throughput path; the native counting sort covers the untiled
+    scan.)"""
+    import time as _time
+
+    from better_flow_tpu.runtime.scan_pipeline import host_bbox, plan_slices
+
+    t0 = _time.perf_counter()
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    t_ns = np.ascontiguousarray(t_ns, np.int64)
+    plan = plan_slices(t_ns, cfg)
+    S = len(plan.ends)
+    scale = cfg.optimizer.scale
+    bbox, nval = host_bbox(x, y, plan)
+
+    # Two passes: size the cap exactly, then fill.
+    slabs = []
+    if cap_per_tile is None:
+        need = 1
+        for s in range(S):
+            a, b = int(plan.starts[s]), int(plan.ends[s]) + 1
+            img_h = cfg.sensor.res_x * scale + scale
+            tile_h = -(-img_h // n_tx)
+            hx = np.minimum((x[a:b] * scale).astype(np.int64) // tile_h,
+                            n_tx - 1)
+            if n_ty > 1:
+                img_w = cfg.sensor.res_y * scale + scale
+                tile_w = -(-img_w // n_ty)
+                hy = np.minimum((y[a:b] * scale).astype(np.int64) // tile_w,
+                                n_ty - 1)
+            else:
+                hy = np.zeros(b - a, np.int64)
+            c = np.bincount(hx * n_ty + hy, minlength=n_tx * n_ty)
+            need = max(need, int(c.max()))
+        cap_per_tile = -(-need // 8) * 8
+    for s in range(S):
+        a, b = int(plan.starts[s]), int(plan.ends[s]) + 1
+        ts_local = (t_ns[a:b] - plan.slice_start_ns[s]).astype(np.float32)
+        slabs.append(bucket_events_2d(
+            x[a:b], y[a:b], ts_local, cfg.sensor.res_x, cfg.sensor.res_y,
+            scale, n_tx, n_ty, cap_per_tile,
+            idx=np.arange(a, b, dtype=np.int32),
+        ))
+    xb = np.stack([s_[0] for s_ in slabs])
+    yb = np.stack([s_[1] for s_ in slabs])
+    tb = np.stack([s_[2] for s_ in slabs])
+    idx = np.stack([s_[4] for s_ in slabs])
+    first_overlap = np.searchsorted(plan.ends, plan.starts)
+    hist_k = max(1, int(np.max(np.arange(S) - first_overlap, initial=1)))
+    return {
+        "plan": plan, "n": len(x), "idx_host": idx, "hist_k": hist_k,
+        "cap_per_tile": cap_per_tile,
+        "xb": jnp.asarray(xb), "yb": jnp.asarray(yb), "tb": jnp.asarray(tb),
+        "idx": jnp.asarray(idx),
+        "starts": jnp.asarray(plan.starts.astype(np.int32)),
+        "ends": jnp.asarray(plan.ends.astype(np.int32)),
+        "bbox": jnp.asarray(bbox), "nval": jnp.asarray(nval),
+        "plan_s": _time.perf_counter() - t0,
+    }
+
+
+def compensate_recording_tiled(
+    x, y, t_ns, cfg, mesh: Mesh, halo: int = 32, esc_cap: int = 4096,
+    prepared=None, init_model: MotionModel = None,
+):
+    """Process a whole recording with tiled images: the tiled twin of
+    runtime.scan_pipeline.compensate_recording_scan.
+
+    One jitted shard_map over mesh ('tile_x', 'tile_y') whose body scans
+    the slices: per slice, the warm-start warp, the bbox-window geometry
+    and window/min-event gates (host-precomputed bbox, replicated — no
+    collective), the tiled optimizer loop (reference or fast schedule;
+    halo fold-in/broadcast-back + escape lane per iteration,
+    _tiled_iteration), noise marking from the scalar gate history, and
+    the warm-start model + secant-seed carry.  Escape-lane overflow is
+    REPORTED per recording in stats['escaped_dropped'] (0 = the tiled
+    result is exact for any drift).
+    """
+    import time as _time
+
+    from functools import partial as _partial
+
+    from better_flow_tpu.models.global_flow import (
+        _drive_loop,
+        geometry_from_bbox,
+    )
+    from better_flow_tpu.runtime.scan_pipeline import PERM_SENTINEL  # noqa: F401
+
+    cfg = cfg  # PipelineConfig
+    n_tx = mesh.shape[AX_X]
+    n_ty = mesh.shape[AX_Y]
+    if prepared is None:
+        prepared = prepare_recording_tiled(x, y, t_ns, cfg, n_tx, n_ty)
+    plan = prepared["plan"]
+    n = prepared["n"]
+    S = len(plan.ends)
+    opt = cfg.optimizer
+    scale = opt.scale
+    sensor = cfg.sensor
+    img_h = sensor.res_x * scale + scale
+    img_w = sensor.res_y * scale + scale
+    tile_h = max(-(-img_h // n_tx), halo)
+    tile_w = max(-(-img_w // n_ty), halo)
+    hist_k = prepared["hist_k"]
+    warm = not cfg.stm_disable
+
+    def local_fn(xb, yb, tb, sidx, starts, ends, bbox, nval, model0):
+        def step(carry, inputs):
+            model, sd, ws_h, st_h, en_h = carry
+            sx, sy, st, si, start, end, bb, nv = inputs
+            valid = si >= 0
+            noise = jnp.zeros_like(valid)
+            for j in range(hist_k):
+                noise |= ws_h[j] & (si >= st_h[j]) & (si <= en_h[j])
+            active = valid & ~noise
+            geom = geometry_from_bbox(bb[0], bb[1], bb[2], bb[3], scale,
+                                      sensor, opt.min_window_fraction)
+            mdl = model if warm else MotionModel.zero()
+            ran = ~geom.window_small & (nv >= opt.min_events)
+
+            # Warm-start warp (set_model): replicated model, local events.
+            pr0x, pr0y, nx0, ny0 = project_4param_reinit(
+                sx, sy, st, sx, sy,
+                -mdl.total_dx, -mdl.total_dy, mdl.cx, mdl.cy,
+                mdl.total_div, -mdl.total_rot,
+            )
+
+            def run(_):
+                init = TiledFlowState(
+                    pr_x=pr0x, pr_y=pr0y, nx=nx0, ny=ny0, model=mdl,
+                    x_div=jnp.float32(opt.init_xy_divider),
+                    y_div=jnp.float32(opt.init_xy_divider),
+                    rot_div=jnp.float32(opt.init_rotdiv_divider),
+                    div_div=jnp.float32(opt.init_rotdiv_divider),
+                    iters=jnp.int32(0), esc=jnp.int32(0),
+                )
+
+                def stepfn(s, update_fn=None):
+                    uf = None if update_fn is None else (
+                        lambda m: update_fn(m, s))
+                    pr2, nx, ny, model2, dropped = _tiled_iteration(
+                        (s.pr_x, s.pr_y), sx, sy, st, active, s.model,
+                        (s.x_div, s.y_div, s.rot_div, s.div_div),
+                        scale, tile_h, tile_w, halo, img_h, img_w,
+                        esc_cap, geom=geom, update_fn=uf,
+                    )
+                    return s._replace(
+                        pr_x=pr2[0], pr_y=pr2[1], nx=nx, ny=ny,
+                        model=model2, iters=s.iters + 1,
+                        esc=jnp.maximum(s.esc, dropped),
+                    )
+
+                final, seed_out = _drive_loop(init, stepfn, opt, seed=sd)
+                return (final.model, final.nx, final.ny, final.iters,
+                        final.esc, seed_out)
+
+            def skip(_):
+                return (mdl, nx0, ny0, jnp.int32(0), jnp.int32(0),
+                        jnp.zeros(8, jnp.float32))
+
+            fmodel, nx, ny, iters, esc, seed_out = lax.cond(ran, run, skip, 0)
+            u, v = compute_uv(nx, ny)
+            ev_noise = (noise | (geom.window_small & valid)) & valid
+            ws_h = jnp.concatenate([ws_h[1:], geom.window_small[None]])
+            st_h = jnp.concatenate([st_h[1:], start[None]])
+            en_h = jnp.concatenate([en_h[1:], end[None]])
+            return ((fmodel, seed_out, ws_h, st_h, en_h),
+                    (u, v, ev_noise, iters, esc))
+
+        carry0 = (
+            model0,
+            jnp.zeros(8, jnp.float32),
+            jnp.zeros((hist_k,), bool),
+            jnp.zeros((hist_k,), jnp.int32),
+            jnp.full((hist_k,), -1, jnp.int32),
+        )
+        (fmodel, *_), outs = lax.scan(
+            step, carry0, (xb, yb, tb, sidx, starts, ends, bbox, nval))
+        chk = jnp.sum(outs[0]) + jnp.sum(outs[1])
+        chk = lax.psum(chk, (AX_X, AX_Y))
+        return fmodel, outs, chk
+
+    ev_spec = P(None, (AX_X, AX_Y))
+    model0 = init_model or MotionModel.zero()
+    model_spec = jax.tree_util.tree_map(lambda _: P(), model0)
+    fn = jax.jit(jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(ev_spec, ev_spec, ev_spec, ev_spec,
+                  P(None), P(None), P(None), P(None), model_spec),
+        out_specs=(model_spec,
+                   (ev_spec, ev_spec, ev_spec, P(None), P(None)),
+                   P()),
+        check_vma=False,
+    ))
+    t0 = _time.perf_counter()
+    fmodel, (u, v, noise_s, iters, esc), chk = fn(
+        prepared["xb"], prepared["yb"], prepared["tb"], prepared["idx"],
+        prepared["starts"], prepared["ends"], prepared["bbox"],
+        prepared["nval"], model0,
+    )
+    float(np.asarray(chk))
+    run_s = _time.perf_counter() - t0
+
+    u = np.asarray(u)
+    v = np.asarray(v)
+    noise_s = np.asarray(noise_s)
+    idx_h = prepared["idx_host"]
+    acc_u = np.zeros(n, np.float32)
+    acc_v = np.zeros(n, np.float32)
+    acc_noise = np.zeros(n, bool)
+    seen = np.zeros(n, bool)
+    for s in range(S):
+        m = idx_h[s] >= 0
+        orig = idx_h[s][m]
+        fresh = ~seen[orig]
+        tgt = orig[fresh]
+        acc_u[tgt] = u[s][m][fresh]
+        acc_v[tgt] = v[s][m][fresh]
+        acc_noise[tgt] = noise_s[s][m][fresh]
+        seen[orig] = True
+
+    return {
+        "u": acc_u, "v": acc_v, "noise": acc_noise, "model": fmodel,
+        "iters": np.asarray(iters),
+        "stats": {
+            "n_events": n, "n_slices": S, "n_tiles": (n_tx, n_ty),
+            "cap_per_tile": prepared["cap_per_tile"],
+            "escaped_dropped": int(np.asarray(esc).max(initial=0)),
+            "plan_s": prepared["plan_s"], "run_s": run_s,
+            "mean_iters": float(np.mean(np.asarray(iters))) if S else 0.0,
+        },
+    }

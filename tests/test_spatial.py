@@ -152,3 +152,87 @@ def test_tiled_2d_mesh_runs():
     assert np.isfinite(float(r.model.total_dx))
     assert np.isfinite(np.asarray(r.u)).all()
     assert int(r.escaped_dropped) == 0
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@needs_8
+def test_tiled_recording_pipeline_matches_untiled():
+    """Round-2 verdict item 5: the RECORDING-level tiled pipeline — slice
+    scan, bbox-window geometry, window/min-event gates, noise marking and
+    warm-start carry over a tiled megapixel-class sensor — must match the
+    untiled scan.  720x1280 sensor on the 4x2 tile mesh, scale 1 (the
+    low-latency megapixel regime), zero escape-lane drops."""
+    from better_flow_tpu.config import PipelineConfig, SliceConfig
+    from better_flow_tpu.parallel.spatial import compensate_recording_tiled
+    from better_flow_tpu.runtime.scan_pipeline import (
+        compensate_recording_scan,
+    )
+
+    cfg = PipelineConfig(
+        sensor=SensorConfig(720, 1280),
+        slice=SliceConfig(max_events=30_000, span_ns=int(0.07e9),
+                          refresh_events=12_000,
+                          refresh_time_ns=int(0.03e9)),
+        optimizer=OptimizerConfig(scale=1, max_iter=10, min_events=1000),
+    )
+    d = synthetic_events(80_000, duration_s=0.2, res_x=720, res_y=1280,
+                         vx=120.0, vy=-80.0, rot=0.1, div=0.03,
+                         n_points=800, seed=4)
+    ref = compensate_recording_scan(d["x"], d["y"], d["t_ns"], cfg)
+    mesh = _tiled_mesh(4, 2)
+    out = compensate_recording_tiled(d["x"], d["y"], d["t_ns"], cfg, mesh,
+                                     halo=32)
+    assert out["stats"]["escaped_dropped"] == 0
+    assert out["stats"]["n_slices"] == ref["stats"]["n_slices"]
+    np.testing.assert_array_equal(out["noise"], ref["noise"])
+    np.testing.assert_array_equal(out["iters"], ref["iters"])
+    ok = ~ref["noise"]
+    speed = float(np.hypot(ref["u"][ok], ref["v"][ok]).mean())
+    du = np.abs(out["u"][ok] - ref["u"][ok])
+    dv = np.abs(out["v"][ok] - ref["v"][ok])
+    # tiled splat + psum'd partials accumulate in a different order than
+    # the untiled scatter; parity is ulp-level per iteration
+    assert np.median(du) <= 0.005 * speed, (np.median(du), speed)
+    assert np.median(dv) <= 0.005 * speed
+    assert du.max() <= 0.05 * speed, (du.max(), speed)
+
+
+@needs_8
+def test_tiled_recording_pipeline_gates_and_noise():
+    """Degenerate mid-recording segment: the tiled pipeline must fire the
+    same window gate, mark the same events noise, and keep processing
+    after it (warm-start chain through a gated slice)."""
+    from better_flow_tpu.config import PipelineConfig, SliceConfig
+    from better_flow_tpu.parallel.spatial import compensate_recording_tiled
+    from better_flow_tpu.runtime.scan_pipeline import (
+        compensate_recording_scan,
+    )
+
+    rng = np.random.default_rng(1)
+    a = synthetic_events(20_000, duration_s=0.1, res_x=720, res_y=1280,
+                         vx=100.0, vy=-60.0, n_points=400, seed=7)
+    nb = 30_000
+    bt = np.sort(rng.integers(0, int(0.12e9), nb)) + int(0.1e9)
+    c = synthetic_events(20_000, duration_s=0.1, res_x=720, res_y=1280,
+                         vx=100.0, vy=-60.0, n_points=400, seed=8)
+    x = np.concatenate([a["x"], np.full(nb, 360.0), c["x"]])
+    y = np.concatenate([a["y"], np.full(nb, 640.0), c["y"]])
+    t_ns = np.concatenate([a["t_ns"], bt, c["t_ns"] + int(0.22e9)])
+    order = np.argsort(t_ns, kind="stable")
+    x, y, t_ns = x[order], y[order], np.ascontiguousarray(t_ns[order])
+
+    cfg = PipelineConfig(
+        sensor=SensorConfig(720, 1280),
+        slice=SliceConfig(max_events=25_000, span_ns=int(0.05e9),
+                          refresh_events=10_000,
+                          refresh_time_ns=int(0.03e9)),
+        optimizer=OptimizerConfig(scale=1, max_iter=8, min_events=1000),
+    )
+    ref = compensate_recording_scan(x, y, t_ns, cfg)
+    assert ref["noise"].any()
+    mesh = _tiled_mesh(4, 2)
+    out = compensate_recording_tiled(x, y, t_ns, cfg, mesh, halo=32)
+    np.testing.assert_array_equal(out["noise"], ref["noise"])
+    np.testing.assert_array_equal(out["iters"], ref["iters"])
