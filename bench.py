@@ -38,12 +38,12 @@ def main():
     from better_flow_tpu.config import OptimizerConfig
 
     on_tpu = jax.default_backend() == "tpu"
-    # 24M requested: program dispatch + result fetch through the axon relay
+    # 48M requested: program dispatch + result fetch through the axon relay
     # costs a measured ~26 ms per jit call regardless of work, so short
     # recordings understate sustained throughput (12.5% of run_s at 6M, 6%
-    # at 12M, 3% at 24M).  The stream stays segment-tiled (constant
-    # density); device slabs at 24M are ~1.5 GB of the 16 GB HBM.
-    default_n = 24_000_000 if on_tpu else 100_000
+    # at 12M, 3% at 24M, 1.4% at 48M).  The stream stays segment-tiled
+    # (constant density); device slabs at 48M are ~3 GB of the 16 GB HBM.
+    default_n = 48_000_000 if on_tpu else 100_000
     n_events = int(float(sys.argv[1])) if len(sys.argv) > 1 else default_n
     # Reference defaults (180x240, 50k/0.2s slices, 20k/33ms triggers,
     # scale 3) with the fast optimizer preset (secant schedule, relaxed
