@@ -170,26 +170,32 @@ def test_tiled_recording_pipeline_matches_untiled():
         compensate_recording_scan,
     )
 
+    # Megapixel-scale density matters: at scale 1 the masked Scharr needs
+    # locally DENSE structure (all nine neighbors nonzero) or the gradient
+    # is identically zero and every slice exits after one iteration with
+    # zero flow — a vacuous parity.  jitter_px fattens the point clusters
+    # so 3x3 neighborhoods fill, like real extended edges do.
     cfg = PipelineConfig(
         sensor=SensorConfig(720, 1280),
-        slice=SliceConfig(max_events=30_000, span_ns=int(0.07e9),
-                          refresh_events=12_000,
+        slice=SliceConfig(max_events=60_000, span_ns=int(0.07e9),
+                          refresh_events=25_000,
                           refresh_time_ns=int(0.03e9)),
         optimizer=OptimizerConfig(scale=1, max_iter=10, min_events=1000),
     )
-    d = synthetic_events(80_000, duration_s=0.2, res_x=720, res_y=1280,
+    d = synthetic_events(300_000, duration_s=0.2, res_x=720, res_y=1280,
                          vx=120.0, vy=-80.0, rot=0.1, div=0.03,
-                         n_points=800, seed=4)
+                         n_points=600, jitter_px=1.5, seed=4)
     ref = compensate_recording_scan(d["x"], d["y"], d["t_ns"], cfg)
     mesh = _tiled_mesh(4, 2)
     out = compensate_recording_tiled(d["x"], d["y"], d["t_ns"], cfg, mesh,
-                                     halo=32)
+                                     halo=32, esc_cap=32768)
     assert out["stats"]["escaped_dropped"] == 0
     assert out["stats"]["n_slices"] == ref["stats"]["n_slices"]
     np.testing.assert_array_equal(out["noise"], ref["noise"])
     np.testing.assert_array_equal(out["iters"], ref["iters"])
     ok = ~ref["noise"]
     speed = float(np.hypot(ref["u"][ok], ref["v"][ok]).mean())
+    assert speed > 50.0, speed  # real flow recovered, not a vacuous zero
     du = np.abs(out["u"][ok] - ref["u"][ok])
     dv = np.abs(out["v"][ok] - ref["v"][ok])
     # tiled splat + psum'd partials accumulate in a different order than
@@ -233,6 +239,44 @@ def test_tiled_recording_pipeline_gates_and_noise():
     ref = compensate_recording_scan(x, y, t_ns, cfg)
     assert ref["noise"].any()
     mesh = _tiled_mesh(4, 2)
-    out = compensate_recording_tiled(x, y, t_ns, cfg, mesh, halo=32)
+    out = compensate_recording_tiled(x, y, t_ns, cfg, mesh, halo=32, esc_cap=32768)
     np.testing.assert_array_equal(out["noise"], ref["noise"])
     np.testing.assert_array_equal(out["iters"], ref["iters"])
+
+
+@needs_8
+def test_tiled_recording_pipeline_fast_schedule():
+    """The tiled pipeline drives the fast secant schedule through the same
+    _drive_loop as the untiled scan (seed carry included): both schedules
+    must land on the same converged flow, the fast one in fewer
+    iterations."""
+    from better_flow_tpu.config import PipelineConfig, SliceConfig
+    from better_flow_tpu.parallel.spatial import compensate_recording_tiled
+
+    base = dict(
+        sensor=SensorConfig(720, 1280),
+        slice=SliceConfig(max_events=60_000, span_ns=int(0.07e9),
+                          refresh_events=25_000,
+                          refresh_time_ns=int(0.03e9)),
+    )
+    d = synthetic_events(300_000, duration_s=0.2, res_x=720, res_y=1280,
+                         vx=120.0, vy=-80.0, rot=0.1, div=0.03,
+                         n_points=600, jitter_px=1.5, seed=4)
+    mesh = _tiled_mesh(4, 2)
+    ref = compensate_recording_tiled(
+        d["x"], d["y"], d["t_ns"],
+        PipelineConfig(optimizer=OptimizerConfig(scale=1, min_events=1000),
+                       **base), mesh, halo=32, esc_cap=32768)
+    fast = compensate_recording_tiled(
+        d["x"], d["y"], d["t_ns"],
+        PipelineConfig(optimizer=OptimizerConfig.fast(scale=1,
+                                                      min_events=1000),
+                       **base), mesh, halo=32, esc_cap=32768)
+    assert fast["stats"]["escaped_dropped"] == 0
+    ok = ~(ref["noise"] | fast["noise"])
+    speed = float(np.hypot(ref["u"][ok], ref["v"][ok]).mean())
+    assert speed > 50.0, speed  # real flow, not a vacuous zero
+    assert np.median(np.abs(fast["u"][ok] - ref["u"][ok])) < 0.02 * speed
+    assert np.median(np.abs(fast["v"][ok] - ref["v"][ok])) < 0.02 * speed
+    assert fast["iters"].sum() < ref["iters"].sum(), (
+        int(fast["iters"].sum()), int(ref["iters"].sum()))
