@@ -107,10 +107,26 @@ def main():
     st["compile_s"] = round(warm["stats"]["run_s"] - st["run_s"], 3)
 
     value = st["events_per_s"]
-    # Cold = host staging (plan+materialize+transfer) + device run: what a
-    # fresh recording sees end to end (the reference's wall clock has no
-    # such split, bf_motion_compensator.cpp:154-178).
-    cold = st["n_events"] / (st["plan_s"] + st["run_s"])
+    # Cold = MEASURED end-to-end one-shot processing via the
+    # batch-pipelined path (runtime/scan_pipeline.compensate_recording_cold:
+    # staging of batch k+1 overlaps device execution of batch k, carry
+    # chained on device).  First call warms the batch-shaped program;
+    # second is the measurement.  The reference's wall clock has no
+    # staging/run split (bf_motion_compensator.cpp:154-178).
+    from better_flow_tpu.runtime.scan_pipeline import (
+        compensate_recording_cold,
+    )
+
+    print("[bench] cold-path measurement...", file=sys.stderr, flush=True)
+    # Free the steady-state slabs first: cold staging is host-bound on the
+    # 2-vCPU machine and the resident ~1.5 GB prepared set plus a second
+    # staging's worth of buffers causes memory pressure at 48M.
+    del prepared, warm
+    n_cold = min(n_real, 12_000_000)
+    xc, yc, tc = d["x"][:n_cold], d["y"][:n_cold], d["t_ns"][:n_cold]
+    compensate_recording_cold(xc, yc, tc, cfg)  # warm the batch programs
+    cold_out = compensate_recording_cold(xc, yc, tc, cfg)
+    cold = cold_out["stats"]["events_per_s"]
     print(
         json.dumps(
             {

@@ -509,6 +509,79 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
     return prepared
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _accumulate_device(u, v, noise_s, perm, starts, claim_from, n: int,
+                       acc0=None):
+    """First-slice-wins accumulation ON DEVICE (compact layouts): scatter
+    the per-slice outputs into full-recording [n] arrays in REVERSE slice
+    order — earlier slices write last, so the first containing slice wins
+    without any seen-mask.  Padding slots and pre-boundary events (orig <
+    claim_from, the range-staging claim rule) scatter to index n and are
+    dropped.  The host then fetches exactly n events' worth of results
+    (u, v, noise ≈ 9 B/event) instead of the ~2.5x-overlapping [S, capp]
+    slabs (~29 B/event) — on the axon relay the device->host direction
+    measures only ~1-26 MB/s, so result delivery dominates cold wall-clock
+    and fetched bytes ARE the metric."""
+    def step(acc, inp):
+        au, av, an = acc
+        us, vs, ns, ps, st = inp
+        valid = ps != PERM_SENTINEL
+        orig = st + ps.astype(jnp.int32)
+        ok = valid & (orig >= claim_from)
+        tgt = jnp.where(ok, orig, n)
+        au = au.at[tgt].set(us, mode="drop")
+        av = av.at[tgt].set(vs, mode="drop")
+        an = an.at[tgt].set(ns, mode="drop")
+        return (au, av, an), None
+    if acc0 is None:
+        acc0 = (jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
+                jnp.zeros(n, bool))
+    rev = lambda a: a[::-1]
+    (au, av, an), _ = lax.scan(
+        step, acc0,
+        (rev(u), rev(v), rev(noise_s), rev(perm), rev(starts)))
+    return au, av, an
+
+
+def _accumulate_first_wins(prepared, u, v, noise_s, acc=None):
+    """First-slice-wins accumulation by ORIGINAL index into (optionally
+    pre-existing) full-recording arrays.  Slices are spatially sorted, so
+    entry j of slice s corresponds to original event idx[s, j] /
+    starts[s] + perm[s, j].  For a range staging, only events whose FIRST
+    containing slice is local are claimed (original index beyond the
+    previous range's last trigger), so consecutive ranges' claims are
+    disjoint."""
+    u = np.asarray(u)
+    v = np.asarray(v)
+    noise_s = np.asarray(noise_s)
+    plan = prepared["plan"]
+    n = prepared["n"]
+    idx_h = prepared["idx_host"]
+    perm_h = prepared.get("perm_host")
+    starts_h = plan.starts
+    lo = prepared.get("slice_range", (0, 0))[0]
+    claim_from = int(prepared["prev_end"]) + 1 if lo > 0 else 0
+    if acc is None:
+        acc = (np.zeros(n, np.float32), np.zeros(n, np.float32),
+               np.zeros(n, bool))
+    acc_u, acc_v, acc_noise = acc
+    seen = np.zeros(n, bool)
+    for s in range(len(plan.ends)):
+        if idx_h is None:          # compact native path: idx deferred
+            m = perm_h[s] != PERM_SENTINEL
+            orig = starts_h[s] + perm_h[s][m].astype(np.int64)
+        else:
+            m = idx_h[s] >= 0      # band-padded layouts are not a prefix
+            orig = idx_h[s][m]
+        fresh = ~seen[orig] & (orig >= claim_from)
+        tgt = orig[fresh]
+        acc_u[tgt] = u[s][m][fresh]
+        acc_v[tgt] = v[s][m][fresh]
+        acc_noise[tgt] = noise_s[s][m][fresh]
+        seen[orig] = True
+    return acc_u, acc_v, acc_noise
+
+
 def compensate_recording_scan(
     x,
     y,
@@ -578,38 +651,19 @@ def compensate_recording_scan(
     t_run = time.perf_counter() - t_run0
     final_model = carry_out[0]
 
-    # First-slice-wins accumulation by ORIGINAL index: slices are spatially
-    # sorted, so entry j of slice s corresponds to original event
-    # idx[s, j], not plan.starts[s] + j.  For a range scan, an event's
-    # FIRST containing slice is local iff its index is beyond the previous
-    # range's last trigger (slices tile the recording by trigger index;
-    # events below every slice start belong to no slice at all).
-    u = np.asarray(u)
-    v = np.asarray(v)
-    noise_s = np.asarray(noise_s)
-    idx_h = prepared["idx_host"]
-    perm_h = prepared.get("perm_host")
-    starts_h = plan.starts
-    lo = prepared.get("slice_range", (0, 0))[0]
-    claim_from = int(prepared["prev_end"]) + 1 if lo > 0 else 0
-    acc_u = np.zeros(n, np.float32)
-    acc_v = np.zeros(n, np.float32)
-    acc_noise = np.zeros(n, bool)
-    seen = np.zeros(n, bool)
+    if prepared["compact"]:
+        lo = prepared.get("slice_range", (0, 0))[0]
+        claim_from = int(prepared["prev_end"]) + 1 if lo > 0 else 0
+        au, av, an = _accumulate_device(
+            u, v, noise_s, prepared["perm"], prepared["starts"],
+            jnp.int32(claim_from), n)
+        acc_u = np.asarray(au)
+        acc_v = np.asarray(av)
+        acc_noise = np.asarray(an)
+    else:
+        acc_u, acc_v, acc_noise = _accumulate_first_wins(
+            prepared, u, v, noise_s)
     S = len(plan.ends)
-    for s in range(S):
-        if idx_h is None:          # compact native path: idx deferred
-            m = perm_h[s] != PERM_SENTINEL
-            orig = starts_h[s] + perm_h[s][m].astype(np.int64)
-        else:
-            m = idx_h[s] >= 0      # band-padded layouts are not a prefix
-            orig = idx_h[s][m]
-        fresh = ~seen[orig] & (orig >= claim_from)
-        tgt = orig[fresh]
-        acc_u[tgt] = u[s][m][fresh]
-        acc_v[tgt] = v[s][m][fresh]
-        acc_noise[tgt] = noise_s[s][m][fresh]
-        seen[orig] = True
 
     return {
         "u": acc_u,
@@ -627,5 +681,107 @@ def compensate_recording_scan(
             "run_s": t_run,
             "events_per_s": n / t_run if t_run > 0 else 0.0,
             "mean_iters": float(np.mean(np.asarray(iters))),
+        },
+    }
+
+
+def compensate_recording_cold(
+    x, y, t_ns, cfg: Optional[PipelineConfig] = None, n_batch: int = 4,
+) -> dict:
+    """True cold-path processing: staging and device execution OVERLAP.
+
+    The recording is split into ``n_batch`` contiguous slice ranges; each
+    range is staged (native sort + compact transfer) and its scan
+    DISPATCHED asynchronously before the next range's sort starts, with
+    the warm-start carry chained batch to batch as device arrays (no host
+    sync on the chain).  The device therefore runs batch k while the host
+    sorts and ships batch k+1 — cold wall-clock pays
+    max(host staging, device run) instead of their sum, and the result is
+    bit-identical to compensate_recording_scan (the carry hand-off is the
+    multi-host chain mechanism, tests/test_multihost.py).
+
+    Ranges share one compiled program when their slice counts match (all
+    but possibly the last); the per-batch dispatch overhead (~26 ms each
+    through the axon relay) is why the STEADY-state bench path keeps the
+    single full-recording program — use this entry point when the
+    recording is processed once.
+    """
+    cfg = cfg or PipelineConfig()
+    import time as _time
+
+    t0 = _time.perf_counter()
+    t_ns = np.ascontiguousarray(t_ns, np.int64)
+    S = len(plan_slices(t_ns, cfg).ends)
+    n_batch = max(1, min(n_batch, S))
+    per = -(-S // n_batch)
+    bounds = [(b * per, min((b + 1) * per, S))
+              for b in range(n_batch) if b * per < S]
+
+    launched = []
+    carry = None
+    for (lo, hi) in bounds:
+        prep = prepare_recording(x, y, t_ns, cfg, slice_range=(lo, hi))
+        if carry is None:
+            ws_h, st_h, en_h = prep["hist0"]
+            carry = make_carry(MotionModel.zero(), prep["hist_k"],
+                               ws_h=ws_h, st_h=st_h, en_h=en_h)
+        if prep["compact"]:
+            carry, outs, chk = _scan_slices_compact(
+                prep["xs16"], prep["ys16"], prep["ts"], prep["perm"],
+                prep["starts"], prep["ends"], prep["bbox"], prep["nval"],
+                carry, cfg, prep["hist_k"])
+        else:
+            carry, outs, chk = _scan_slices(
+                prep["xs"], prep["ys"], prep["ts"], prep["idx"],
+                prep["starts"], prep["ends"], prep["bbox"], prep["nval"],
+                carry, cfg, prep["hist_k"])
+        # No fetch here: the dispatch is async, so the next iteration's
+        # host staging overlaps this batch's device execution.
+        launched.append((prep, outs, chk))
+
+    # All batches dispatched; accumulate first-slice-wins ON DEVICE (the
+    # per-batch claims are disjoint by the claim_from rule, so chaining
+    # the accumulator through the batches in any order is exact) and
+    # fetch exactly n events' worth of results — on the axon relay the
+    # device->host link measures ~1-26 MB/s, so fetched bytes dominate
+    # cold wall-clock.
+    n = len(x)
+    acc_dev = None
+    acc_host = None
+    iters_all = []
+    for prep, (u, v, noise_s, iters, ran), chk in launched:
+        if prep["compact"]:
+            lo = prep.get("slice_range", (0, 0))[0]
+            claim_from = int(prep["prev_end"]) + 1 if lo > 0 else 0
+            acc_dev = _accumulate_device(
+                u, v, noise_s, prep["perm"], prep["starts"],
+                jnp.int32(claim_from), n, acc0=acc_dev)
+        else:
+            float(np.asarray(chk))
+            acc_host = _accumulate_first_wins(prep, u, v, noise_s,
+                                              acc=acc_host)
+        iters_all.append(iters)
+    if acc_dev is not None:
+        acc_u = np.asarray(acc_dev[0])
+        acc_v = np.asarray(acc_dev[1])
+        acc_noise = np.asarray(acc_dev[2])
+        if acc_host is not None:   # mixed compact/non-compact batches
+            hu, hv, hn = acc_host
+            m = (hu != 0) | (hv != 0) | hn
+            acc_u[m] = hu[m]
+            acc_v[m] = hv[m]
+            acc_noise[m] = hn[m]
+    else:
+        acc_u, acc_v, acc_noise = acc_host
+    iters = np.concatenate([np.asarray(i) for i in iters_all])
+    total_s = _time.perf_counter() - t0
+    return {
+        "u": acc_u, "v": acc_v, "noise": acc_noise, "model": carry[0],
+        "carry": carry, "iters": iters,
+        "stats": {
+            "n_events": len(x), "n_slices": S, "n_batches": len(bounds),
+            "total_s": total_s,
+            "events_per_s": len(x) / total_s if total_s > 0 else 0.0,
+            "mean_iters": float(iters.mean()) if S else 0.0,
         },
     }

@@ -130,3 +130,23 @@ def test_multihost_single_process_fallback(rec):
     np.testing.assert_array_equal(out["u"], full["u"])
     np.testing.assert_array_equal(out["noise"], full["noise"])
     assert out["stats"]["n_processes"] == 1
+
+
+def test_cold_pipeline_matches_scan(rec):
+    """compensate_recording_cold (batch-pipelined staging/execution
+    overlap) is bit-identical to the one-program scan — it is the range
+    chain at n_batch granularity with deferred fetches."""
+    from better_flow_tpu.runtime.scan_pipeline import (
+        compensate_recording_cold,
+    )
+
+    cfg = PipelineConfig()
+    t_ns = np.ascontiguousarray(rec["t_ns"], np.int64)
+    full = compensate_recording_scan(rec["x"], rec["y"], t_ns, cfg)
+    cold = compensate_recording_cold(rec["x"], rec["y"], t_ns, cfg,
+                                     n_batch=3)
+    assert cold["stats"]["n_batches"] == 3
+    np.testing.assert_array_equal(cold["u"], full["u"])
+    np.testing.assert_array_equal(cold["v"], full["v"])
+    np.testing.assert_array_equal(cold["noise"], full["noise"])
+    np.testing.assert_array_equal(cold["iters"], full["iters"])
