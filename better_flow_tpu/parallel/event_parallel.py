@@ -192,10 +192,7 @@ def compensate_recording_scan_sharded(
     """
     import time as _time
 
-    from better_flow_tpu.runtime.scan_pipeline import (
-        PERM_SENTINEL,
-        make_carry,
-    )
+    from better_flow_tpu.runtime.scan_pipeline import make_carry
 
     n_dev = mesh.shape[AXIS]
     if prepared is None:
@@ -228,29 +225,9 @@ def compensate_recording_scan_sharded(
 
     # First-slice-wins by ORIGINAL index (band-padded layouts interleave
     # padding inside the slice, so mask on idx >= 0, not a length prefix).
-    u = np.asarray(u)
-    v = np.asarray(v)
-    noise_s = np.asarray(noise_s)
-    idx_h = prepared["idx_host"]
-    perm_h = prepared.get("perm_host")
-    starts_h = plan.starts
-    acc_u = np.zeros(n_total, np.float32)
-    acc_v = np.zeros(n_total, np.float32)
-    acc_noise = np.zeros(n_total, bool)
-    seen = np.zeros(n_total, bool)
-    for s in range(S):
-        if idx_h is None:          # compact native path: idx deferred
-            m = perm_h[s] != PERM_SENTINEL
-            orig = starts_h[s] + perm_h[s][m].astype(np.int64)
-        else:
-            m = idx_h[s] >= 0
-            orig = idx_h[s][m]
-        fresh = ~seen[orig]
-        tgt = orig[fresh]
-        acc_u[tgt] = u[s][m][fresh]
-        acc_v[tgt] = v[s][m][fresh]
-        acc_noise[tgt] = noise_s[s][m][fresh]
-        seen[orig] = True
+    from better_flow_tpu.runtime.scan_pipeline import _accumulate_first_wins
+
+    acc_u, acc_v, acc_noise = _accumulate_first_wins(prepared, u, v, noise_s)
 
     return {
         "u": acc_u, "v": acc_v, "noise": acc_noise, "model": final_model,

@@ -182,8 +182,6 @@ def _sharded_range(prepared, cfg, mesh, carry_in):
     event_parallel.compensate_recording_scan_sharded)."""
     import time as _time
 
-    from better_flow_tpu.runtime.scan_pipeline import PERM_SENTINEL
-
     plan = prepared["plan"]
     n_total = prepared["n"]
     S = len(plan.ends)
@@ -207,31 +205,9 @@ def _sharded_range(prepared, cfg, mesh, carry_in):
     float(np.asarray(chk))
     run_s = _time.perf_counter() - t0
 
-    u = np.asarray(u)
-    v = np.asarray(v)
-    noise_s = np.asarray(noise_s)
-    idx_h = prepared["idx_host"]
-    perm_h = prepared.get("perm_host")
-    starts_h = plan.starts
-    lo = prepared.get("slice_range", (0, 0))[0]
-    claim_from = int(prepared["prev_end"]) + 1 if lo > 0 else 0
-    acc_u = np.zeros(n_total, np.float32)
-    acc_v = np.zeros(n_total, np.float32)
-    acc_noise = np.zeros(n_total, bool)
-    seen = np.zeros(n_total, bool)
-    for s in range(S):
-        if idx_h is None:
-            m = perm_h[s] != PERM_SENTINEL
-            orig = starts_h[s] + perm_h[s][m].astype(np.int64)
-        else:
-            m = idx_h[s] >= 0
-            orig = idx_h[s][m]
-        fresh = ~seen[orig] & (orig >= claim_from)
-        tgt = orig[fresh]
-        acc_u[tgt] = u[s][m][fresh]
-        acc_v[tgt] = v[s][m][fresh]
-        acc_noise[tgt] = noise_s[s][m][fresh]
-        seen[orig] = True
+    from better_flow_tpu.runtime.scan_pipeline import _accumulate_first_wins
+
+    acc_u, acc_v, acc_noise = _accumulate_first_wins(prepared, u, v, noise_s)
 
     return {
         "u": acc_u, "v": acc_v, "noise": acc_noise, "model": carry_out[0],
