@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-era extensions
     p.add_argument("--scan", action="store_true",
                    help="device-resident lax.scan pipeline (fastest offline)")
+    p.add_argument("--cold", action="store_true",
+                   help="one-shot batch-pipelined processing: staging of "
+                        "the next slice batch overlaps device execution "
+                        "(best wall-clock for a recording processed once)")
     p.add_argument("--scale", type=int, default=3)
     p.add_argument("--max-iter", type=int, default=-1)
     p.add_argument("--max-events", type=int, default=50000,
@@ -130,16 +134,35 @@ def main(argv=None) -> int:
 
     want_frames = args.img or args.video
 
-    if args.scan and not want_frames:
-        from better_flow_tpu.runtime.scan_pipeline import compensate_recording_scan
-
-        out = compensate_recording_scan(rec["x"], rec["y"], rec["t_ns"], cfg)
-        st = out["stats"]
-        if not args.quiet:
-            print(
-                f"{st['n_slices']} slices, {st['run_s']:.3f} s, "
-                f"{st['events_per_s']:.0f} events/s, mean iters {st['mean_iters']:.1f}"
+    if (args.scan or args.cold) and not want_frames:
+        if args.cold:
+            from better_flow_tpu.runtime.scan_pipeline import (
+                compensate_recording_cold,
             )
+
+            out = compensate_recording_cold(rec["x"], rec["y"], rec["t_ns"],
+                                            cfg)
+            st = out["stats"]
+            if not args.quiet:
+                print(
+                    f"{st['n_slices']} slices in {st['n_batches']} batches, "
+                    f"{st['total_s']:.3f} s end to end, "
+                    f"{st['events_per_s']:.0f} events/s, "
+                    f"mean iters {st['mean_iters']:.1f}"
+                )
+        else:
+            from better_flow_tpu.runtime.scan_pipeline import (
+                compensate_recording_scan,
+            )
+
+            out = compensate_recording_scan(rec["x"], rec["y"], rec["t_ns"],
+                                            cfg)
+            st = out["stats"]
+            if not args.quiet:
+                print(
+                    f"{st['n_slices']} slices, {st['run_s']:.3f} s, "
+                    f"{st['events_per_s']:.0f} events/s, mean iters {st['mean_iters']:.1f}"
+                )
         if args.outfile:
             write_events_uv(
                 sys.stdout if args.outfile == "-" else args.outfile,

@@ -103,3 +103,24 @@ def test_viewer_analysis(rec_file, tmp_path):
 def test_viewer_empty_window(rec_file):
     r = _run(["better_flow_tpu.cli.viewer", rec_file, "9.0", "9.5"])
     assert r.returncode == 1
+
+
+def test_cli_cold_pipeline(tmp_path):
+    """--cold: one-shot batch-pipelined processing writes the same format."""
+    from better_flow_tpu.cli.motion_compensator import main
+    from better_flow_tpu.io.event_file import read_events_uv, write_events
+    from better_flow_tpu.io.synthetic import synthetic_events
+
+    d = synthetic_events(30_000, duration_s=0.3, res_x=48, res_y=64,
+                         vx=20.0, vy=-12.0, n_points=150, seed=6)
+    rec = str(tmp_path / "rec.txt")
+    write_events(rec, d["x"], d["y"], d["t_ns"], d["polarity"])
+    out = str(tmp_path / "cold.txt")
+    rc = main([rec, "--cold", "--resolution", "48x64", "--quiet",
+               "--max-events", "8000", "--refresh-event-count", "4000",
+               "-o", out])
+    assert rc == 0
+    r = read_events_uv(out)
+    assert len(r["u"]) == 30_000
+    ok = np.isfinite(r["u"])
+    assert np.median(r["u"][ok]) != 0.0
