@@ -109,7 +109,7 @@ def host_bbox(x, y, plan: SlicePlan):
 
 
 def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
-                       spatial_sort: bool = True, band_rows: int = 32,
+                       spatial_sort: bool = True, band_rows: int = None,
                        band_pad: bool = False, res_x: int = 0,
                        indices_only: bool = False):
     """[S, CAP] SoA tensors + per-slice lengths and original indices.
@@ -131,6 +131,8 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
     ``indices_only`` skips building the xs/ys/ts value slabs (returned as
     None) — the compact device path reconstructs them by gather from the
     recording, so only ``idx`` is needed."""
+    if band_rows is None:
+        band_rows = BAND_ROWS
     S = len(plan.ends)
     lens = (plan.ends - plan.starts + 1).astype(np.int32)
     offsets = np.arange(cap, dtype=np.int64)[None, :]
@@ -195,6 +197,15 @@ def materialize_slices(x, y, t_ns, plan: SlicePlan, cap: int,
 
 
 PERM_SENTINEL = np.uint16(0xFFFF)
+
+# Row-band height of the host spatial sort (events grouped by
+# x // BAND_ROWS, then column).  The windowed Pallas kernel needs each
+# CHUNK inside one band: at scale 3 a band spans BAND_ROWS*3 + 2 scaled
+# rows, which must fit the kernel's RH=128-row window with slack for the
+# 8-row window alignment and warp drift (fallback is exact but ~10x).
+# 36 divides 180 exactly -> 5 bands instead of 6 at the default sensor,
+# one fewer partial chunk of padding per slice (bench-validated vs 32).
+BAND_ROWS: int = 36
 
 
 def make_carry(init_model, hist_k: int, seed=None, ws_h=None, st_h=None,
@@ -365,7 +376,7 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
     from better_flow_tpu.io import native as _native
     from better_flow_tpu.ops.pallas.fused_model import CHUNK
 
-    band_rows = 32
+    band_rows = BAND_ROWS
     n_bands = max(cfg.sensor.res_x + band_rows - 1, band_rows) // band_rows
     cap = cfg.slice.max_events
     capp = -(-(cap + n_bands * (CHUNK - 1)) // CHUNK) * CHUNK
@@ -437,7 +448,7 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
         compact = integral_u16(x) and integral_u16(y)
         xs, ys, ts, idx, lens = materialize_slices(
             x, y, t_ns, plan, cfg.slice.max_events,
-            band_pad=True, res_x=cfg.sensor.res_x,
+            band_rows=band_rows, band_pad=True, res_x=cfg.sensor.res_x,
         )
     capp_out = perm_n.shape[1] if native_out is not None else idx.shape[1]
     compact = compact and (capp_out < 0xFFFF)

@@ -19,6 +19,7 @@ from better_flow_tpu.io import native
 from better_flow_tpu.io.synthetic import synthetic_events
 from better_flow_tpu.ops.pallas.fused_model import CHUNK
 from better_flow_tpu.runtime.scan_pipeline import (
+    BAND_ROWS,
     PERM_SENTINEL,
     materialize_slices,
     plan_slices,
@@ -48,7 +49,7 @@ def test_native_materialize_matches_numpy():
         x, y, t_ns, plan, cfg.slice.max_events,
         band_pad=True, res_x=cfg.sensor.res_x,
     )
-    band_rows = 32
+    band_rows = BAND_ROWS
     n_bands = max(cfg.sensor.res_x + band_rows - 1, band_rows) // band_rows
     capp = -(-(cfg.slice.max_events + n_bands * (CHUNK - 1)) // CHUNK) * CHUNK
     assert xs.shape[1] == capp
@@ -121,7 +122,7 @@ def test_batched_staging_matches_single_call():
     S = len(plan.starts)
     assert S >= 64, f"recording too short to exercise batching ({S} slices)"
 
-    band_rows = 32
+    band_rows = BAND_ROWS
     n_bands = max(cfg.sensor.res_x + band_rows - 1, band_rows) // band_rows
     cap = cfg.slice.max_events
     capp = -(-(cap + n_bands * (CHUNK - 1)) // CHUNK) * CHUNK
