@@ -59,6 +59,9 @@ def plan_slices(t_ns: np.ndarray, cfg: PipelineConfig) -> SlicePlan:
     """
     sl = cfg.slice
     n = len(t_ns)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return SlicePlan(starts=z, ends=z.copy(), slice_start_ns=z.copy())
     ends = []
     last_slice_time = 0
     event_diff = 0
@@ -691,7 +694,7 @@ def compensate_recording_scan(
             "plan_s": t_plan,
             "run_s": t_run,
             "events_per_s": n / t_run if t_run > 0 else 0.0,
-            "mean_iters": float(np.mean(np.asarray(iters))),
+            "mean_iters": float(np.mean(np.asarray(iters))) if S else 0.0,
         },
     }
 
@@ -782,12 +785,18 @@ def compensate_recording_cold(
             acc_u[m] = hu[m]
             acc_v[m] = hv[m]
             acc_noise[m] = hn[m]
-    else:
+    elif acc_host is not None:
         acc_u, acc_v, acc_noise = acc_host
-    iters = np.concatenate([np.asarray(i) for i in iters_all])
+    else:                          # empty recording: no batches launched
+        acc_u = np.zeros(n, np.float32)
+        acc_v = np.zeros(n, np.float32)
+        acc_noise = np.zeros(n, bool)
+    iters = (np.concatenate([np.asarray(i) for i in iters_all])
+             if iters_all else np.zeros(0, np.int32))
     total_s = _time.perf_counter() - t0
     return {
-        "u": acc_u, "v": acc_v, "noise": acc_noise, "model": carry[0],
+        "u": acc_u, "v": acc_v, "noise": acc_noise,
+        "model": carry[0] if carry is not None else MotionModel.zero(),
         "carry": carry, "iters": iters,
         "stats": {
             "n_events": len(x), "n_slices": S, "n_batches": len(bounds),

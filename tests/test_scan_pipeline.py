@@ -117,3 +117,36 @@ def test_noise_persists_across_slices_via_window_gate():
         expected[rng_idx[fresh]] = np.asarray(rec.noise)[fresh]
         seen[rng_idx] = True
     np.testing.assert_array_equal(scan["noise"], expected)
+
+
+def test_empty_and_tiny_recordings():
+    """Degenerate inputs through both offline entry points: an empty
+    recording produces zero slices without crashing; a sub-slice recording
+    produces its flush slice (bf_motion_compensator.cpp:208)."""
+    from better_flow_tpu.config import (OptimizerConfig, PipelineConfig,
+                                        SensorConfig, SliceConfig)
+    from better_flow_tpu.runtime.scan_pipeline import (
+        compensate_recording_cold,
+        compensate_recording_scan,
+    )
+
+    cfg = PipelineConfig(
+        sensor=SensorConfig(24, 32),
+        slice=SliceConfig(max_events=4000, span_ns=int(0.1e9),
+                          refresh_events=1500, refresh_time_ns=int(0.04e9)),
+        optimizer=OptimizerConfig(scale=3, min_events=500))
+    for fn in (compensate_recording_scan, compensate_recording_cold):
+        r = fn(np.zeros(0), np.zeros(0), np.zeros(0, np.int64), cfg)
+        assert r["stats"]["n_slices"] == 0
+        assert len(r["u"]) == 0
+        assert r["stats"]["mean_iters"] == 0.0
+
+    rng = np.random.default_rng(0)
+    n = 800
+    x = rng.integers(0, 24, n).astype(np.float64)
+    y = rng.integers(0, 32, n).astype(np.float64)
+    t = np.sort(rng.integers(0, int(0.05e9), n)).astype(np.int64)
+    for fn in (compensate_recording_scan, compensate_recording_cold):
+        r = fn(x, y, t, cfg)
+        assert r["stats"]["n_slices"] >= 1
+        assert len(r["u"]) == n
