@@ -105,13 +105,62 @@ def test_fast_flow_matches_reference_binary(golden):
 def test_fast_noisy_flow_matches_reference_binary(golden_noisy):
     """Fast preset on the sensor-realistic noisy stream vs the C++ binary
     (the round-2 verdict's missing gate: the noisy golden previously ran
-    parity mode only)."""
+    parity mode only).  This single gate is what caught the
+    exit_grad_factor=8 quality cliff in round 3 (one bursty slice exited
+    early and the warm-start chain diverged, corr 0.9986 -> 0.48)."""
     from better_flow_tpu.config import OptimizerConfig, PipelineConfig
     from better_flow_tpu.io.event_file import read_events, read_events_uv
     from better_flow_tpu.runtime.scan_pipeline import compensate_recording_scan
 
     rec = read_events(golden_noisy["rec"])
     ref = read_events_uv(golden_noisy["ref_out"])
+    for opt in (OptimizerConfig.fast(), OptimizerConfig.fast_accurate()):
+        out = compensate_recording_scan(
+            rec["x"], rec["y"], rec["t_ns"],
+            PipelineConfig(optimizer=opt),
+        )
+        ok = ~out["noise"]
+        assert ok.sum() > 10_000
+        c_u = np.corrcoef(out["u"][ok], ref["u"][ok])[0, 1]
+        c_v = np.corrcoef(out["v"][ok], ref["v"][ok])[0, 1]
+        assert c_u > 0.96, (opt.exit_grad_factor, c_u)
+        assert c_v > 0.96, (opt.exit_grad_factor, c_v)
+        speed = np.hypot(ref["u"][ok], ref["v"][ok]).mean()
+        assert np.median(np.abs(out["u"][ok] - ref["u"][ok])) < 0.06 * speed
+
+
+@pytest.fixture(scope="module")
+def golden_noisy2(tmp_path_factory):
+    """Second sensor-realistic stream with a different seed and burstier
+    statistics — cliff regressions in the fast exit are chain-chaotic and
+    scene-dependent, so one noisy seed is thin protection."""
+    from better_flow_tpu.io.dvs_sim import dvs_events
+    from better_flow_tpu.io.event_file import write_events
+
+    tmp = tmp_path_factory.mktemp("golden_noisy2")
+    d = dvs_events(70_000, duration_s=0.35, res_x=180, res_y=240,
+                   vx=-45.0, vy=25.0, rot=0.15, div=0.05, seed=23,
+                   burst_depth=0.7)
+    rec = str(tmp / "rec.txt")
+    write_events(rec, d["x"], d["y"], d["t_ns"], d["polarity"])
+    ref_out = str(tmp / "ref.txt")
+    subprocess.run(
+        [REF_BIN, rec, "-o", ref_out],
+        check=True, capture_output=True, timeout=600,
+    )
+    return {"rec": rec, "ref_out": ref_out, "events": d}
+
+
+def test_fast_noisy_flow_matches_reference_binary_seed2(golden_noisy2):
+    """The fast preset must track the C++ binary on a SECOND noisy stream
+    (different seed, burstier) — redundancy for the chain-divergence
+    failure mode."""
+    from better_flow_tpu.config import OptimizerConfig, PipelineConfig
+    from better_flow_tpu.io.event_file import read_events, read_events_uv
+    from better_flow_tpu.runtime.scan_pipeline import compensate_recording_scan
+
+    rec = read_events(golden_noisy2["rec"])
+    ref = read_events_uv(golden_noisy2["ref_out"])
     out = compensate_recording_scan(
         rec["x"], rec["y"], rec["t_ns"],
         PipelineConfig(optimizer=OptimizerConfig.fast()),
@@ -120,10 +169,8 @@ def test_fast_noisy_flow_matches_reference_binary(golden_noisy):
     assert ok.sum() > 10_000
     c_u = np.corrcoef(out["u"][ok], ref["u"][ok])[0, 1]
     c_v = np.corrcoef(out["v"][ok], ref["v"][ok])[0, 1]
-    assert c_u > 0.96, c_u
-    assert c_v > 0.96, c_v
-    speed = np.hypot(ref["u"][ok], ref["v"][ok]).mean()
-    assert np.median(np.abs(out["u"][ok] - ref["u"][ok])) < 0.06 * speed
+    assert c_u > 0.95, c_u
+    assert c_v > 0.95, c_v
 
 
 def test_compensated_image_psnr(golden):
