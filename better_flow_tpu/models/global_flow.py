@@ -81,10 +81,15 @@ def geometry_from_bbox(
         + wy.astype(jnp.float32) / 2.0
         + half
     )
-    # Gate: both scaled window dims below scale*RES/15 (integer division),
-    # optimizer_rolling.h:49.  scale_img = w + scale.
-    window_small = ((wx + scale) < (scale * sensor.res_x) // 15) & (
-        (wy + scale) < (scale * sensor.res_y) // 15
+    # Gate: both scaled window dims below scale*RES/min_window_fraction
+    # (integer division), optimizer_rolling.h:49 (the reference hardcodes
+    # 15; OptimizerConfig exposes it).  scale_img = w + scale.  Host-side
+    # gate reconstructions (scan_pipeline's pre-range history) use the same
+    # config value — the two must agree for range/multihost hand-offs to
+    # stay exact.
+    frac = min_window_fraction
+    window_small = ((wx + scale) < (scale * sensor.res_x) // frac) & (
+        (wy + scale) < (scale * sensor.res_y) // frac
     )
     return SliceGeometry(x_shift, y_shift, wx, wy, window_small)
 

@@ -61,10 +61,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from better_flow_tpu.config import PipelineConfig
-from better_flow_tpu.core.model import MotionModel
 from better_flow_tpu.parallel import event_parallel
 from better_flow_tpu.parallel.distributed import process_local_slice_range
-from better_flow_tpu.runtime.scan_pipeline import make_carry, plan_slices
+from better_flow_tpu.runtime.scan_pipeline import (_initial_model, make_carry,
+                                                    plan_slices)
 
 
 def _local_ev_mesh(ev_per_host: Optional[int]):
@@ -122,7 +122,7 @@ def compensate_recording_multihost(
 
     if boundary == "cold" or cfg.stm_disable or n_proc == 1:
         ws_h, st_h, en_h = prepared["hist0"]
-        carry0 = make_carry(MotionModel.zero(), prepared["hist_k"],
+        carry0 = make_carry(_initial_model(cfg), prepared["hist_k"],
                             ws_h=ws_h, st_h=st_h, en_h=en_h)
         out = run_range(carry0)
     else:
@@ -134,7 +134,7 @@ def compensate_recording_multihost(
         from jax.experimental import multihost_utils
 
         ws_h, st_h, en_h = prepared["hist0"]
-        carry = make_carry(MotionModel.zero(), prepared["hist_k"],
+        carry = make_carry(_initial_model(cfg), prepared["hist_k"],
                            ws_h=ws_h, st_h=st_h, en_h=en_h)
         out = None
         for h in range(n_proc):

@@ -348,9 +348,17 @@ def process_slice_tiled(
     img_w = sensor.res_y * scale + scale
     tile_h = -(-img_h // n_x)
     tile_w = -(-img_w // n_y)
-    # round tiles so halo fits
-    tile_h = max(tile_h, halo)
-    tile_w = max(tile_w, halo)
+    # The halo exchange is neighbor-only (one ppermute per direction), so a
+    # halo wider than the tile would need multi-hop folds — and the caller's
+    # bucketing (bucket_events_2d) assigns home tiles by the UNclamped tile
+    # size, so silently growing tiles here would disagree with it and push
+    # most events through the escape lane.  Refuse instead.
+    if tile_h < halo or tile_w < halo:
+        raise ValueError(
+            f"halo {halo} exceeds the natural tile size "
+            f"({tile_h}x{tile_w} for a {img_h}x{img_w} image over a "
+            f"{n_x}x{n_y} mesh); use fewer tiles or a smaller halo"
+        )
 
     def local_fn(x, y, t, active, model):
         def step(s: TiledFlowState) -> TiledFlowState:
@@ -609,8 +617,17 @@ def compensate_recording_tiled(
     sensor = cfg.sensor
     img_h = sensor.res_x * scale + scale
     img_w = sensor.res_y * scale + scale
-    tile_h = max(-(-img_h // n_tx), halo)
-    tile_w = max(-(-img_w // n_ty), halo)
+    tile_h = -(-img_h // n_tx)
+    tile_w = -(-img_w // n_ty)
+    # Same constraint as process_slice_tiled: the staging
+    # (prepare_recording_tiled / bucket_events_2d) assigns home tiles by
+    # this natural tile size; clamping to halo here would disagree with it.
+    if tile_h < halo or tile_w < halo:
+        raise ValueError(
+            f"halo {halo} exceeds the natural tile size "
+            f"({tile_h}x{tile_w} for a {img_h}x{img_w} image over a "
+            f"{n_tx}x{n_ty} mesh); use fewer tiles or a smaller halo"
+        )
     hist_k = prepared["hist_k"]
     warm = not cfg.stm_disable
 

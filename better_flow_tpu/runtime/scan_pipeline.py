@@ -557,14 +557,31 @@ def _accumulate_device(u, v, noise_s, perm, starts, claim_from, n: int,
     return au, av, an
 
 
-def _accumulate_first_wins(prepared, u, v, noise_s, acc=None):
+def _initial_model(cfg: PipelineConfig) -> MotionModel:
+    """Initial warm-start model honoring cfg.f64_totals — shared by the
+    scan, cold and multihost entry points so the accumulator precision
+    cannot silently diverge between pipelines for the same config."""
+    if cfg.f64_totals:
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "cfg.f64_totals requires x64 mode (jax.experimental."
+                "enable_x64() or jax_enable_x64=True); without it the "
+                "f64 carry would silently downcast to f32"
+            )
+        return MotionModel.zero(jnp.float64)
+    return MotionModel.zero()
+
+
+def _accumulate_first_wins(prepared, u, v, noise_s, acc=None, claimed=None):
     """First-slice-wins accumulation by ORIGINAL index into (optionally
     pre-existing) full-recording arrays.  Slices are spatially sorted, so
     entry j of slice s corresponds to original event idx[s, j] /
     starts[s] + perm[s, j].  For a range staging, only events whose FIRST
     containing slice is local are claimed (original index beyond the
     previous range's last trigger), so consecutive ranges' claims are
-    disjoint."""
+    disjoint.  ``claimed`` (optional bool[n], mutated in place) records
+    which slots this call wrote — the explicit claim mask mixed
+    compact/host merges overlay by."""
     u = np.asarray(u)
     v = np.asarray(v)
     noise_s = np.asarray(noise_s)
@@ -592,6 +609,8 @@ def _accumulate_first_wins(prepared, u, v, noise_s, acc=None):
         acc_u[tgt] = u[s][m][fresh]
         acc_v[tgt] = v[s][m][fresh]
         acc_noise[tgt] = noise_s[s][m][fresh]
+        if claimed is not None:
+            claimed[tgt] = True
         seen[orig] = True
     return acc_u, acc_v, acc_noise
 
@@ -631,18 +650,7 @@ def compensate_recording_scan(
     if carry_in is not None:
         carry0 = carry_in
     else:
-        if init_model is not None:
-            model0 = init_model
-        elif cfg.f64_totals:
-            if not jax.config.jax_enable_x64:
-                raise ValueError(
-                    "cfg.f64_totals requires x64 mode (jax.experimental."
-                    "enable_x64() or jax_enable_x64=True); without it the "
-                    "f64 carry would silently downcast to f32"
-                )
-            model0 = MotionModel.zero(jnp.float64)
-        else:
-            model0 = MotionModel.zero()
+        model0 = init_model if init_model is not None else _initial_model(cfg)
         ws_h, st_h, en_h = prepared.get("hist0", (None, None, None))
         carry0 = make_carry(model0, prepared["hist_k"], ws_h=ws_h,
                             st_h=st_h, en_h=en_h)
@@ -737,7 +745,7 @@ def compensate_recording_cold(
         prep = prepare_recording(x, y, t_ns, cfg, slice_range=(lo, hi))
         if carry is None:
             ws_h, st_h, en_h = prep["hist0"]
-            carry = make_carry(MotionModel.zero(), prep["hist_k"],
+            carry = make_carry(_initial_model(cfg), prep["hist_k"],
                                ws_h=ws_h, st_h=st_h, en_h=en_h)
         if prep["compact"]:
             carry, outs, chk = _scan_slices_compact(
@@ -762,6 +770,7 @@ def compensate_recording_cold(
     n = len(x)
     acc_dev = None
     acc_host = None
+    host_claimed = None
     iters_all = []
     for prep, (u, v, noise_s, iters, ran), chk in launched:
         if prep["compact"]:
@@ -772,16 +781,23 @@ def compensate_recording_cold(
                 jnp.int32(claim_from), n, acc0=acc_dev)
         else:
             float(np.asarray(chk))
+            if host_claimed is None:
+                host_claimed = np.zeros(n, bool)
             acc_host = _accumulate_first_wins(prep, u, v, noise_s,
-                                              acc=acc_host)
+                                              acc=acc_host,
+                                              claimed=host_claimed)
         iters_all.append(iters)
     if acc_dev is not None:
         acc_u = np.asarray(acc_dev[0])
         acc_v = np.asarray(acc_dev[1])
         acc_noise = np.asarray(acc_dev[2])
         if acc_host is not None:   # mixed compact/non-compact batches
+            # Overlay by the EXPLICIT claim mask (which slots the host
+            # batches wrote) — per-batch claims are disjoint by the
+            # claim_from rule, but inferring claimed slots from nonzero
+            # values would silently drop host results that are exactly 0.
             hu, hv, hn = acc_host
-            m = (hu != 0) | (hv != 0) | hn
+            m = host_claimed
             acc_u[m] = hu[m]
             acc_v[m] = hv[m]
             acc_noise[m] = hn[m]

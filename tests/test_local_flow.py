@@ -46,7 +46,7 @@ def test_local_flow_recovers_translation():
         d["x"], d["y"], d["t_ns"].astype(np.float64),
         np.ones(len(d["x"]), bool), [24.0], [24.0], wsz=31, k=6144,
     )
-    u, v, n_ev, iters = local_flow_field(wins, scale=3, wsz=31)
+    u, v, n_ev, iters, _nx, _ny = local_flow_field(wins, scale=3, wsz=31)
     assert int(n_ev[0]) > 100
     assert int(iters[0]) > 3
     # direction should roughly match (loose: single window, quantized data)

@@ -62,7 +62,8 @@ def main():
     x16y16 = _native.coords_u16(x, y)
     out["coords_s"] = round(time.perf_counter() - t0, 4)
 
-    band_rows = 32
+    from better_flow_tpu.runtime.scan_pipeline import BAND_ROWS
+    band_rows = BAND_ROWS  # the production sort-band layout, not a copy
     n_bands = (cfg.sensor.res_x + band_rows - 1) // band_rows
     cap = cfg.slice.max_events
     capp = -(-(cap + n_bands * (CHUNK - 1)) // CHUNK) * CHUNK
