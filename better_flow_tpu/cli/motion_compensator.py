@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-era extensions
     p.add_argument("--scan", action="store_true",
                    help="device-resident lax.scan pipeline (fastest offline)")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="with --cold: persist (carry, completed batches) "
+                        "at every batch boundary so a killed run can "
+                        "--resume bit-identically")
+    p.add_argument("--resume", action="store_true",
+                   help="with --cold --checkpoint: continue after the "
+                        "last completed batch of a matching checkpoint")
     p.add_argument("--cold", action="store_true",
                    help="one-shot batch-pipelined processing: staging of "
                         "the next slice batch overlaps device execution "
@@ -140,12 +147,16 @@ def main(argv=None) -> int:
                 compensate_recording_cold,
             )
 
-            out = compensate_recording_cold(rec["x"], rec["y"], rec["t_ns"],
-                                            cfg)
+            out = compensate_recording_cold(
+                rec["x"], rec["y"], rec["t_ns"], cfg,
+                checkpoint_path=args.checkpoint, resume=args.resume)
             st = out["stats"]
             if not args.quiet:
+                resumed = (f" (resumed after batch {st['resumed_batches']})"
+                           if st.get("resumed_batches") else "")
                 print(
-                    f"{st['n_slices']} slices in {st['n_batches']} batches, "
+                    f"{st['n_slices']} slices in {st['n_batches']} batches"
+                    f"{resumed}, "
                     f"{st['total_s']:.3f} s end to end, "
                     f"{st['events_per_s']:.0f} events/s, "
                     f"mean iters {st['mean_iters']:.1f}"

@@ -141,6 +141,18 @@ class OptimizerConfig:
     # pin — this switch exists for those parity tests and for debugging,
     # not as a tuning knob.
     use_megastep: bool = True
+    # Run the megastep as the TWO-kernel split (shard-local warp+splat
+    # emitting pre-filter images -> finish+model-update kernel) even on a
+    # single device.  The split pays ~7 us/iteration of HBM traffic for
+    # the two (HP, WP) seam images but measured FASTER than the monolithic
+    # megastep on v5e (77.6 -> ~60 us/iteration at bench shapes; 47.5 ->
+    # 49.3 M ev/s end to end at 12M events): the monolithic kernel's
+    # finish phase, fused into the last grid step, compiles worse than
+    # the standalone finish kernel.  Identical written op sequence — the
+    # same two kernels the event-parallel sharded path runs, minus the
+    # psum (round-3 measured that path bit-exact vs the megastep on
+    # chip).
+    megastep_split: bool = False
     # Hard bound on lax.while_loop iterations when max_iter < 0.  The
     # reference's divider caps guarantee termination (each divider at most
     # doubles ~9 times per parameter before its cap) but we bound the device
@@ -174,7 +186,7 @@ class OptimizerConfig:
         the quality stream; parity mode always keeps the pair)."""
         kw = dict(schedule="fast", dx_tol=2e-4, dy_tol=2e-4,
                   rot_tol=2e-3, div_tol=2.0, splat_time_lo=False,
-                  exit_grad_factor=4.0)
+                  exit_grad_factor=4.0, megastep_split=True)
         kw.update(overrides)
         return cls(**kw)
 
@@ -188,7 +200,7 @@ class OptimizerConfig:
         than fast() — still ~2.5x fewer than the reference schedule."""
         kw = dict(schedule="fast", dx_tol=1e-4, dy_tol=1e-4,
                   rot_tol=1e-3, div_tol=1.0, splat_time_lo=False,
-                  exit_grad_factor=1.0)
+                  exit_grad_factor=1.0, megastep_split=True)
         kw.update(overrides)
         return cls(**kw)
 

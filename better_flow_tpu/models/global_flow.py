@@ -654,10 +654,20 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
 
     def body(carry):
         st, pr = carry
-        if axis_name is None:
+        if axis_name is None and not cfg.megastep_split:
             npr, st2 = megastep_call(
                 stat, act, pr, st, geo, scale=scale, H=H, W=W,
                 time_lo=time_lo, **statics
+            )
+        elif axis_name is None:
+            # Single-device split megastep: same two kernels as the
+            # sharded path, no psum (see OptimizerConfig.megastep_split).
+            npr, acc_t, acc_c = warp_images_st_call(
+                stat, act, pr, st, geo, scale=scale, H=H, W=W,
+                time_lo=time_lo,
+            )
+            st2 = megastep_finish_call(
+                acc_t, acc_c, st, geo, scale=scale, H=H, W=W, **statics
             )
         else:
             # Sharded megastep: shard-local warp+splat kernel -> one psum

@@ -26,6 +26,7 @@ streaming runtime.
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import NamedTuple, Optional
@@ -523,6 +524,39 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
     return prepared
 
 
+@partial(jax.jit, static_argnames=("claim_cap",))
+def _accumulate_device_range(u, v, noise_s, perm, starts, claim_from,
+                             claim_to, claim_cap: int):
+    """Range variant of _accumulate_device: scatter only events whose
+    original index falls in [claim_from, claim_to) into a COMPACT
+    [claim_cap] buffer at offset orig - claim_from.  Batch claims are
+    contiguous original-index ranges (claim_from = previous range's last
+    trigger + 1), so per-batch compact buffers concatenate into the
+    full-recording result — and each batch's ~n/n_batch-sized fetch can
+    start (copy_to_host_async) while the device still runs later batches,
+    overlapping result delivery with compute and host staging
+    (the round-4 cold-path pipelining)."""
+    def step(acc, inp):
+        au, av, an = acc
+        us, vs, ns, ps, st = inp
+        valid = ps != PERM_SENTINEL
+        orig = st + ps.astype(jnp.int32)
+        ok = valid & (orig >= claim_from) & (orig < claim_to)
+        tgt = jnp.where(ok, orig - claim_from, claim_cap)
+        au = au.at[tgt].set(us, mode="drop")
+        av = av.at[tgt].set(vs, mode="drop")
+        an = an.at[tgt].set(ns, mode="drop")
+        return (au, av, an), None
+    acc0 = (jnp.zeros(claim_cap, jnp.float32),
+            jnp.zeros(claim_cap, jnp.float32),
+            jnp.zeros(claim_cap, bool))
+    rev = lambda a: a[::-1]
+    (au, av, an), _ = lax.scan(
+        step, acc0,
+        (rev(u), rev(v), rev(noise_s), rev(perm), rev(starts)))
+    return au, av, an
+
+
 @partial(jax.jit, static_argnames=("n",))
 def _accumulate_device(u, v, noise_s, perm, starts, claim_from, n: int,
                        acc0=None):
@@ -707,20 +741,96 @@ def compensate_recording_scan(
     }
 
 
+_CKPT_VERSION = 1
+
+
+def save_offline_checkpoint(path, *, n, S, n_batch, done, carry,
+                            batch_results):
+    """Persist the cold pipeline's state at a batch boundary: the scan
+    carry (model + secant seed + window-gate history — the exact multihost
+    hand-off payload) plus each completed batch's compact claimed results.
+    A resumed run continues bit-identically (the carry IS the complete
+    cross-batch state; tests/test_offline_checkpoint.py)."""
+    from better_flow_tpu.core.model import MotionModel
+
+    model, seed, ws_h, st_h, en_h = carry
+    state = {
+        "version": np.int64(_CKPT_VERSION), "n": np.int64(n),
+        "S": np.int64(S), "n_batch": np.int64(n_batch),
+        "done_batches": np.int64(done),
+        "carry_seed": np.asarray(seed), "carry_ws": np.asarray(ws_h),
+        "carry_st": np.asarray(st_h), "carry_en": np.asarray(en_h),
+    }
+    for f in MotionModel._fields:
+        state[f"carry_model_{f}"] = np.asarray(getattr(model, f))
+    for b, (au, av, an, iters) in enumerate(batch_results):
+        state[f"acc_u_{b}"] = au
+        state[f"acc_v_{b}"] = av
+        state[f"acc_n_{b}"] = an
+        state[f"iters_{b}"] = iters
+    tmp = str(path) + ".tmp.npz"
+    np.savez(tmp, **state)
+    os.replace(tmp, str(path))
+
+
+def load_offline_checkpoint(path, *, n, S, n_batch, hist_k):
+    """Load and validate a cold-pipeline checkpoint.  Returns
+    (done_batches, carry, batch_results) or None when the file is absent.
+    Raises when the checkpoint belongs to a different recording/config
+    split (n, S or n_batch mismatch)."""
+    from better_flow_tpu.core.model import MotionModel
+
+    if not os.path.exists(str(path)):
+        return None
+    z = np.load(str(path), allow_pickle=False)
+    if int(z["version"]) != _CKPT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {int(z['version'])}")
+    for key, want in (("n", n), ("S", S), ("n_batch", n_batch)):
+        if int(z[key]) != want:
+            raise ValueError(
+                f"checkpoint mismatch: {key}={int(z[key])} but this run has "
+                f"{want} — wrong recording, config, or n_batch")
+    model = MotionModel(
+        *(jnp.asarray(z[f"carry_model_{f}"]) for f in MotionModel._fields))
+    ws = np.asarray(z["carry_ws"])
+    if len(ws) != hist_k:
+        raise ValueError("checkpoint hist_k mismatch")
+    carry = (model, jnp.asarray(z["carry_seed"]), jnp.asarray(ws),
+             jnp.asarray(z["carry_st"]), jnp.asarray(z["carry_en"]))
+    done = int(z["done_batches"])
+    batch_results = [
+        (z[f"acc_u_{b}"], z[f"acc_v_{b}"], z[f"acc_n_{b}"], z[f"iters_{b}"])
+        for b in range(done)
+    ]
+    return done, carry, batch_results
+
+
 def compensate_recording_cold(
     x, y, t_ns, cfg: Optional[PipelineConfig] = None, n_batch: int = 4,
+    checkpoint_path=None, resume: bool = False,
 ) -> dict:
-    """True cold-path processing: staging and device execution OVERLAP.
+    """True cold-path processing: staging, device execution AND result
+    delivery all OVERLAP.
 
     The recording is split into ``n_batch`` contiguous slice ranges; each
-    range is staged (native sort + compact transfer) and its scan
-    DISPATCHED asynchronously before the next range's sort starts, with
-    the warm-start carry chained batch to batch as device arrays (no host
-    sync on the chain).  The device therefore runs batch k while the host
-    sorts and ships batch k+1 — cold wall-clock pays
-    max(host staging, device run) instead of their sum, and the result is
-    bit-identical to compensate_recording_scan (the carry hand-off is the
-    multi-host chain mechanism, tests/test_multihost.py).
+    range is staged (native sort + compact transfer), its scan DISPATCHED
+    asynchronously, and — because each batch's claimed events form a
+    CONTIGUOUS original-index range — its first-slice-wins accumulation
+    runs on device into a compact per-batch buffer whose device->host copy
+    starts immediately (``copy_to_host_async``).  The device therefore
+    runs batch k while the host sorts batch k+1 and batch k-1's results
+    stream back — cold wall-clock pays max(staging, device run, fetch)
+    instead of their sum, and the result is bit-identical to
+    compensate_recording_scan (the carry hand-off is the multi-host chain
+    mechanism, tests/test_multihost.py; the round-4 fetch overlap changes
+    only WHEN bytes move, not what they hold).
+
+    ``checkpoint_path`` (optional) persists (carry, completed batches'
+    results) at every batch boundary — saved one batch behind the dispatch
+    frontier so checkpointing does not serialize the overlap; with
+    ``resume=True`` a matching checkpoint restarts after the last
+    completed batch and the final output is bit-identical to an
+    uninterrupted run (tests/test_offline_checkpoint.py).
 
     Ranges share one compiled program when their slice counts match (all
     but possibly the last); the per-batch dispatch overhead (~26 ms each
@@ -733,16 +843,49 @@ def compensate_recording_cold(
 
     t0 = _time.perf_counter()
     t_ns = np.ascontiguousarray(t_ns, np.int64)
-    S = len(plan_slices(t_ns, cfg).ends)
+    plan_full = plan_slices(t_ns, cfg)
+    S = len(plan_full.ends)
+    n = len(x)
     n_batch = max(1, min(n_batch, S))
     per = -(-S // n_batch)
     bounds = [(b * per, min((b + 1) * per, S))
               for b in range(n_batch) if b * per < S]
-
-    launched = []
-    carry = None
+    # Claim ranges are known up front from the full trigger plan: batch b
+    # claims exactly the events whose FIRST containing slice is local,
+    # i.e. original indices [prev_range_last_trigger+1, this_range_last
+    # _trigger+1) — contiguous and disjoint across batches.
+    claims = []
     for (lo, hi) in bounds:
+        cfrom = int(plan_full.ends[lo - 1]) + 1 if lo > 0 else 0
+        cto = int(plan_full.ends[hi - 1]) + 1 if hi < S else n
+        claims.append((cfrom, cto))
+    claim_cap = max((cto - cfrom for cfrom, cto in claims), default=1)
+    claim_cap = max(claim_cap, 1)
+
+    done = 0
+    batch_results = []   # per completed batch: (u, v, noise, iters) compact
+    carry = None
+    if resume and checkpoint_path is not None:
+        # hist_k from the full plan, same formula as prepare_recording —
+        # no staging needed just to validate the carry shape.
+        first_overlap = np.searchsorted(plan_full.ends, plan_full.starts)
+        hist_k = max(1, int(np.max(np.arange(S) - first_overlap,
+                                   initial=1)))
+        loaded = load_offline_checkpoint(checkpoint_path, n=n, S=S,
+                                         n_batch=n_batch, hist_k=hist_k)
+        if loaded is not None:
+            done, carry, batch_results = loaded
+
+    launched = []   # (batch_idx, prep, outs, acc_async)
+    pending_ckpt = None   # (batch_idx, carry_after_batch)
+    for bi, (lo, hi) in enumerate(bounds):
+        if bi < done:
+            continue
         prep = prepare_recording(x, y, t_ns, cfg, slice_range=(lo, hi))
+        if checkpoint_path is not None and not prep["compact"]:
+            raise ValueError(
+                "offline checkpointing requires the compact staging path "
+                "(integral u16 coordinates)")
         if carry is None:
             ws_h, st_h, en_h = prep["hist0"]
             carry = make_carry(_initial_model(cfg), prep["hist_k"],
@@ -752,63 +895,102 @@ def compensate_recording_cold(
                 prep["xs16"], prep["ys16"], prep["ts"], prep["perm"],
                 prep["starts"], prep["ends"], prep["bbox"], prep["nval"],
                 carry, cfg, prep["hist_k"])
+            # Dispatch this batch's compact range accumulation right away
+            # and start its device->host copy: the fetch streams while the
+            # host sorts batch bi+1 and the device runs this batch.
+            u, v, noise_s, iters, ran = outs
+            cfrom, cto = claims[bi]
+            acc = _accumulate_device_range(
+                u, v, noise_s, prep["perm"], prep["starts"],
+                jnp.int32(cfrom), jnp.int32(cto), claim_cap)
+            for a in acc:
+                a.copy_to_host_async()
         else:
             carry, outs, chk = _scan_slices(
                 prep["xs"], prep["ys"], prep["ts"], prep["idx"],
                 prep["starts"], prep["ends"], prep["bbox"], prep["nval"],
                 carry, cfg, prep["hist_k"])
-        # No fetch here: the dispatch is async, so the next iteration's
-        # host staging overlaps this batch's device execution.
-        launched.append((prep, outs, chk))
+            acc = None
+        launched.append((bi, prep, outs, acc))
+        # Write the PREVIOUS batch's checkpoint now that this batch is
+        # dispatched: fetching its carry only waits on work that already
+        # ran, so the overlap survives checkpointing.
+        if checkpoint_path is not None and pending_ckpt is not None:
+            pb, pcarry = pending_ckpt
+            prev = launched[-2]
+            _, pprep, pouts, pacc = prev
+            if pacc is None:
+                raise ValueError(
+                    "offline checkpointing requires the compact staging "
+                    "path (integral u16 coordinates)")
+            batch_results.append(
+                tuple(np.asarray(a)[: claims[pb][1] - claims[pb][0]]
+                      for a in pacc) + (np.asarray(pouts[3]),))
+            host_carry = jax.tree_util.tree_map(np.asarray, pcarry)
+            save_offline_checkpoint(
+                checkpoint_path, n=n, S=S, n_batch=n_batch, done=pb + 1,
+                carry=host_carry, batch_results=batch_results)
+        pending_ckpt = (bi, carry)
 
-    # All batches dispatched; accumulate first-slice-wins ON DEVICE (the
-    # per-batch claims are disjoint by the claim_from rule, so chaining
-    # the accumulator through the batches in any order is exact) and
-    # fetch exactly n events' worth of results — on the axon relay the
-    # device->host link measures ~1-26 MB/s, so fetched bytes dominate
-    # cold wall-clock.
-    n = len(x)
-    acc_dev = None
+    # Finalize the last batch's checkpoint (the run is complete here, so
+    # the extra sync costs nothing).
+    if checkpoint_path is not None and pending_ckpt is not None:
+        pb, pcarry = pending_ckpt
+        _, pprep, pouts, pacc = launched[-1]
+        if pacc is None:
+            raise ValueError(
+                "offline checkpointing requires the compact staging path "
+                "(integral u16 coordinates)")
+        batch_results.append(
+            tuple(np.asarray(a)[: claims[pb][1] - claims[pb][0]]
+                  for a in pacc) + (np.asarray(pouts[3]),))
+        host_carry = jax.tree_util.tree_map(np.asarray, pcarry)
+        save_offline_checkpoint(
+            checkpoint_path, n=n, S=S, n_batch=n_batch, done=pb + 1,
+            carry=host_carry, batch_results=batch_results)
+
+    # Stitch: checkpointed/completed batches first, then the batches this
+    # run launched.  Compact batches place their contiguous claim range;
+    # non-compact batches fall back to the host first-wins accumulate.
+    acc_u = np.zeros(n, np.float32)
+    acc_v = np.zeros(n, np.float32)
+    acc_noise = np.zeros(n, bool)
+    iters_parts = [None] * len(bounds)
+    for pb in range(done):
+        au, av, an, it = batch_results[pb]
+        cfrom, cto = claims[pb]
+        acc_u[cfrom:cto] = au
+        acc_v[cfrom:cto] = av
+        acc_noise[cfrom:cto] = an
+        iters_parts[pb] = np.asarray(it)
     acc_host = None
     host_claimed = None
-    iters_all = []
-    for prep, (u, v, noise_s, iters, ran), chk in launched:
-        if prep["compact"]:
-            lo = prep.get("slice_range", (0, 0))[0]
-            claim_from = int(prep["prev_end"]) + 1 if lo > 0 else 0
-            acc_dev = _accumulate_device(
-                u, v, noise_s, prep["perm"], prep["starts"],
-                jnp.int32(claim_from), n, acc0=acc_dev)
+    for bi, prep, outs, acc in launched:
+        u, v, noise_s, iters, ran = outs
+        iters_parts[bi] = np.asarray(iters)
+        if acc is not None:
+            cfrom, cto = claims[bi]
+            acc_u[cfrom:cto] = np.asarray(acc[0])[: cto - cfrom]
+            acc_v[cfrom:cto] = np.asarray(acc[1])[: cto - cfrom]
+            acc_noise[cfrom:cto] = np.asarray(acc[2])[: cto - cfrom]
         else:
-            float(np.asarray(chk))
             if host_claimed is None:
                 host_claimed = np.zeros(n, bool)
             acc_host = _accumulate_first_wins(prep, u, v, noise_s,
                                               acc=acc_host,
                                               claimed=host_claimed)
-        iters_all.append(iters)
-    if acc_dev is not None:
-        acc_u = np.asarray(acc_dev[0])
-        acc_v = np.asarray(acc_dev[1])
-        acc_noise = np.asarray(acc_dev[2])
-        if acc_host is not None:   # mixed compact/non-compact batches
-            # Overlay by the EXPLICIT claim mask (which slots the host
-            # batches wrote) — per-batch claims are disjoint by the
-            # claim_from rule, but inferring claimed slots from nonzero
-            # values would silently drop host results that are exactly 0.
-            hu, hv, hn = acc_host
-            m = host_claimed
-            acc_u[m] = hu[m]
-            acc_v[m] = hv[m]
-            acc_noise[m] = hn[m]
-    elif acc_host is not None:
-        acc_u, acc_v, acc_noise = acc_host
-    else:                          # empty recording: no batches launched
-        acc_u = np.zeros(n, np.float32)
-        acc_v = np.zeros(n, np.float32)
-        acc_noise = np.zeros(n, bool)
-    iters = (np.concatenate([np.asarray(i) for i in iters_all])
-             if iters_all else np.zeros(0, np.int32))
+    if acc_host is not None:
+        # Overlay by the EXPLICIT claim mask (which slots the host batches
+        # wrote) — per-batch claims are disjoint by the claim rule, but
+        # inferring claimed slots from nonzero values would silently drop
+        # host results that are exactly 0.
+        m = host_claimed
+        acc_u[m] = acc_host[0][m]
+        acc_v[m] = acc_host[1][m]
+        acc_noise[m] = acc_host[2][m]
+    iters = (np.concatenate([p for p in iters_parts if p is not None])
+             if any(p is not None for p in iters_parts)
+             else np.zeros(0, np.int32))
     total_s = _time.perf_counter() - t0
     return {
         "u": acc_u, "v": acc_v, "noise": acc_noise,
@@ -816,6 +998,7 @@ def compensate_recording_cold(
         "carry": carry, "iters": iters,
         "stats": {
             "n_events": len(x), "n_slices": S, "n_batches": len(bounds),
+            "resumed_batches": done,
             "total_s": total_s,
             "events_per_s": len(x) / total_s if total_s > 0 else 0.0,
             "mean_iters": float(iters.mean()) if S else 0.0,

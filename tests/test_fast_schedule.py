@@ -138,6 +138,44 @@ def test_fast_offbench_noisy_stream():
     assert acc["iters"].sum() <= 0.7 * ref["iters"].sum()
 
 
+def test_fast_rotdiv_margin_canary():
+    """Distance-to-cliff canary on the rotdiv quality axis (round-4).
+
+    Calibration, measured at round 4 on this scene: the SHIPPED factor-4
+    preset sits at ~1.01x the reference schedule's AEE against the 1.05x
+    gate (headroom ~0.04); one notch looser (factor 6) measures ~1.13x —
+    i.e. the shipped config is LESS than one exit_grad_factor notch from
+    failing its gate, so pass/fail at factor 4 alone would give no early
+    warning.  Two rails:
+
+    * the shipped preset must keep at least HALF its measured headroom
+      (ratio <= 1.03) — schedule drift that erodes quality margin fails
+      here first, while the production gate (1.05, test above) still
+      passes;
+    * factor 6's known degraded-but-bounded behavior must not collapse
+      into chain divergence (ratio <= 1.3) — the gross-cliff rail.
+    """
+    d = synthetic_events(150_000, duration_s=0.2, res_x=180, res_y=240,
+                         vx=10.0, vy=8.0, rot=0.6, div=0.12,
+                         n_points=600, seed=777)
+    ref = compensate_recording_scan(d["x"], d["y"], d["t_ns"],
+                                    _prod_cfg("reference"))
+    f4 = compensate_recording_scan(d["x"], d["y"], d["t_ns"],
+                                   _prod_cfg("fast"))
+    f6 = compensate_recording_scan(
+        d["x"], d["y"], d["t_ns"],
+        PipelineConfig(optimizer=OptimizerConfig.fast(exit_grad_factor=6.0)))
+    a_r, a_4, a_6 = _aee_med(ref, d), _aee_med(f4, d), _aee_med(f6, d)
+    print(f"[margin canary] rotdiv AEE ratios vs reference: "
+          f"factor4={a_4 / a_r:.3f} (canary 1.03, gate 1.05) "
+          f"factor6={a_6 / a_r:.3f} (rail 1.3)")
+    assert a_4 <= 1.03 * a_r, (
+        f"fast-preset rotdiv margin halved: factor-4 AEE ratio "
+        f"{a_4 / a_r:.3f} > 1.03 (production gate is 1.05)")
+    assert a_6 <= 1.3 * a_r, (
+        f"factor-6 rotdiv behavior collapsed: ratio {a_6 / a_r:.3f}")
+
+
 def test_megastep_fast_matches_composed_slice():
     """The secant schedule exists in two hand-mirrored copies: the JAX
     _fast_loop (models/global_flow.py) and the in-kernel _model_update_phase

@@ -129,6 +129,36 @@ def test_fast_noisy_flow_matches_reference_binary(golden_noisy):
         assert np.median(np.abs(out["u"][ok] - ref["u"][ok])) < 0.06 * speed
 
 
+def test_fast_noisy_margin_canary(golden_noisy):
+    """Distance-to-cliff canary (round-4): the shipped factor-4 preset
+    measures corr u=0.99862, v=0.99431 vs the C++ binary on this chain
+    (calibrated round 4); the known cliff (factor 8) collapses it to
+    ~0.48.  The plain gate above (corr > 0.96) would still pass a
+    schedule tweak that quietly ate most of that headroom.  This canary
+    pins it near today's values (u >= 0.995, v >= 0.985 — roughly half
+    the current headroom over the production gate): a schedule change
+    that erodes chain fidelity fails HERE, before it falls off the same
+    cliff round 2's preset did.  Margin numbers are printed."""
+    from better_flow_tpu.config import OptimizerConfig, PipelineConfig
+    from better_flow_tpu.io.event_file import read_events, read_events_uv
+    from better_flow_tpu.runtime.scan_pipeline import compensate_recording_scan
+
+    rec = read_events(golden_noisy["rec"])
+    ref = read_events_uv(golden_noisy["ref_out"])
+    out = compensate_recording_scan(
+        rec["x"], rec["y"], rec["t_ns"],
+        PipelineConfig(optimizer=OptimizerConfig.fast()),
+    )
+    ok = ~out["noise"]
+    c_u = np.corrcoef(out["u"][ok], ref["u"][ok])[0, 1]
+    c_v = np.corrcoef(out["v"][ok], ref["v"][ok])[0, 1]
+    print(f"[margin canary] noisy-golden chain corr: u={c_u:.5f} "
+          f"v={c_v:.5f} (canary u>=0.995 v>=0.985; shipped "
+          f"0.99862/0.99431; production gate 0.96; cliff ~0.48)")
+    assert c_u >= 0.995, f"fast-preset margin eroded: corr(u)={c_u:.5f}"
+    assert c_v >= 0.985, f"fast-preset margin eroded: corr(v)={c_v:.5f}"
+
+
 @pytest.fixture(scope="module")
 def golden_noisy2(tmp_path_factory):
     """Second sensor-realistic stream with a different seed and burstier

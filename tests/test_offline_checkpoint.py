@@ -1,0 +1,118 @@
+"""Checkpoint/resume for the OFFLINE (cold) pipeline — VERDICT round-4
+item 4: kill a cold run mid-recording, resume, and the output must be
+bit-identical to the uninterrupted run.
+
+The checkpoint payload is the batch-boundary scan carry (model + secant
+seed + window-gate history — the exact multihost hand-off) plus each
+completed batch's compact claimed results (scan_pipeline.
+save_offline_checkpoint)."""
+
+import numpy as np
+import pytest
+
+from better_flow_tpu.config import OptimizerConfig, PipelineConfig
+from better_flow_tpu.io.synthetic import synthetic_events
+from better_flow_tpu.runtime import scan_pipeline
+from better_flow_tpu.runtime.scan_pipeline import (
+    compensate_recording_cold,
+    compensate_recording_scan,
+)
+
+
+@pytest.fixture(scope="module")
+def recording():
+    return synthetic_events(120_000, duration_s=0.6, res_x=64, res_y=80,
+                            vx=40.0, vy=-25.0, rot=0.2, div=0.05,
+                            n_points=300, seed=9)
+
+
+def _cfg():
+    return PipelineConfig(optimizer=OptimizerConfig(scale=3))
+
+
+def test_cold_matches_scan(recording):
+    """The restructured cold path (per-batch compact range accumulation
+    with async fetch) must remain bit-identical to the one-program scan."""
+    d = recording
+    cfg = _cfg()
+    scan = compensate_recording_scan(d["x"], d["y"], d["t_ns"], cfg)
+    cold = compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                     n_batch=4)
+    np.testing.assert_array_equal(scan["u"], cold["u"])
+    np.testing.assert_array_equal(scan["v"], cold["v"])
+    np.testing.assert_array_equal(scan["noise"], cold["noise"])
+    np.testing.assert_array_equal(scan["iters"], cold["iters"])
+
+
+def test_kill_and_resume_bit_identical(recording, tmp_path, monkeypatch):
+    """Kill the run while staging the third batch; the checkpoint then
+    holds one completed batch.  The resumed run must reproduce the
+    uninterrupted output exactly."""
+    d = recording
+    cfg = _cfg()
+    ckpt = str(tmp_path / "cold.ckpt.npz")
+
+    clean = compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                      n_batch=4)
+
+    calls = {"n": 0}
+    orig = scan_pipeline.prepare_recording
+
+    def dying_prepare(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated mid-run kill")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(scan_pipeline, "prepare_recording", dying_prepare)
+    with pytest.raises(RuntimeError, match="simulated"):
+        compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                  n_batch=4, checkpoint_path=ckpt)
+    monkeypatch.setattr(scan_pipeline, "prepare_recording", orig)
+
+    import os
+    assert os.path.exists(ckpt), "no checkpoint written before the kill"
+    resumed = compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                        n_batch=4, checkpoint_path=ckpt,
+                                        resume=True)
+    assert resumed["stats"]["resumed_batches"] >= 1
+    np.testing.assert_array_equal(clean["u"], resumed["u"])
+    np.testing.assert_array_equal(clean["v"], resumed["v"])
+    np.testing.assert_array_equal(clean["noise"], resumed["noise"])
+    np.testing.assert_array_equal(clean["iters"], resumed["iters"])
+    for f in clean["model"]._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(clean["model"], f)),
+            np.asarray(getattr(resumed["model"], f)), err_msg=f)
+
+
+def test_fully_complete_checkpoint_short_circuits(recording, tmp_path):
+    """Resuming from a checkpoint of a COMPLETED run re-launches nothing
+    and still reproduces the full output."""
+    d = recording
+    cfg = _cfg()
+    ckpt = str(tmp_path / "done.ckpt.npz")
+    full = compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                     n_batch=3, checkpoint_path=ckpt)
+    again = compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                      n_batch=3, checkpoint_path=None,
+                                      resume=True)  # resume without path: fresh run
+    np.testing.assert_array_equal(full["u"], again["u"])
+    resumed = compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                        n_batch=3, checkpoint_path=ckpt,
+                                        resume=True)
+    assert resumed["stats"]["resumed_batches"] == 3
+    np.testing.assert_array_equal(full["u"], resumed["u"])
+    np.testing.assert_array_equal(full["iters"], resumed["iters"])
+
+
+def test_checkpoint_mismatch_raises(recording, tmp_path):
+    d = recording
+    cfg = _cfg()
+    ckpt = str(tmp_path / "mm.ckpt.npz")
+    compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg, n_batch=2,
+                              checkpoint_path=ckpt)
+    with pytest.raises(ValueError, match="n_batch"):
+        compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                  n_batch=3, checkpoint_path=ckpt,
+                                  resume=True)
