@@ -44,14 +44,26 @@ def main():
     # at 12M, 3% at 24M, 1.4% at 48M).  The stream stays segment-tiled
     # (constant density); device slabs at 48M are ~3 GB of the 16 GB HBM.
     default_n = 48_000_000 if on_tpu else 100_000
-    n_events = int(float(sys.argv[1])) if len(sys.argv) > 1 else default_n
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    n_events = int(float(args[0])) if args else default_n
+    # --schedule=fast|fast_accurate|reference brackets the headline with
+    # quality-first rows (BASELINE.md round-4 table); the default stays
+    # the fast preset.
+    schedule = "fast"
+    for f in flags:
+        if f.startswith("--schedule="):
+            schedule = f.split("=", 1)[1]
     # Reference defaults (180x240, 50k/0.2s slices, 20k/33ms triggers,
     # scale 3) with the fast optimizer preset (secant schedule, relaxed
     # tolerances) — quality-gated against the parity schedule in
     # tests/test_fast_schedule.py (same converged warp, <1% flow
     # deviation, equal-or-better AEE vs ground truth).  See BASELINE.md
     # "Bench schedule note".
-    cfg = PipelineConfig(optimizer=OptimizerConfig.fast())
+    opt = {"fast": OptimizerConfig.fast,
+           "fast_accurate": OptimizerConfig.fast_accurate,
+           "reference": OptimizerConfig}[schedule]()
+    cfg = PipelineConfig(optimizer=opt)
 
     # A 1 Mev/s synthetic stream (typical DVS rates) with moderate motion.
     # Long streams tile a 0.5 s base segment in time: the scene's 60 px/s
@@ -141,6 +153,7 @@ def main():
                     "plan_s": round(st["plan_s"], 4),
                     "cold_events_per_s": round(cold, 1),
                     "mean_iters": round(st["mean_iters"], 2),
+                    "schedule": schedule,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -1,4 +1,4 @@
-"""Checkpoint / resume for the streaming pipeline.
+"""Checkpoint / resume for the STREAMING pipeline (DVSFlow).
 
 The reference has no persistence at all — its only cross-slice state is the
 in-memory ``last_model`` warm start (dvs_flow.h:38-39; SURVEY.md §5 flags
@@ -6,6 +6,14 @@ this as the gap to fill).  Here the full pipeline state — motion model,
 trigger counters, ring-buffer contents, and accumulated slices — is a
 checkpointable dict saved as a single .npz, so long recordings and live
 pipelines survive restarts mid-stream.
+
+The OFFLINE (batch/cold) pipeline has its own checkpoint/resume at batch
+boundaries — see runtime.scan_pipeline.save_offline_checkpoint and
+``compensate_recording_cold(checkpoint_path=..., resume=True)`` (the CLI's
+``--cold --checkpoint PATH [--resume]``): the persisted payload there is
+the scan carry (model + secant seed + window-gate history, the multihost
+hand-off) plus completed batches' results, and a resumed run is
+bit-identical to an uninterrupted one.
 """
 
 from __future__ import annotations

@@ -272,8 +272,16 @@ def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
 
     def step(carry, inputs):
         model, sd, ws_h, st_h, en_h = carry
-        sx, sy, st, sidx, start, end, bb, nv = inputs[:8]
-        stat3 = inputs[8] if len(inputs) > 8 else None
+        if len(inputs) > 6:
+            sx, sy, st, sidx, start, end, bb, nv = inputs[:8]
+            stat3 = inputs[8] if len(inputs) > 8 else None
+        else:
+            # stat3-only layout: the (nch, 3, CHUNK) pack IS (x, y, t) —
+            # don't ship the same 736 KB/slice again as separate slabs.
+            sidx, start, end, bb, nv, stat3 = inputs
+            sx = stat3[:, 0, :].reshape(-1)
+            sy = stat3[:, 1, :].reshape(-1)
+            st = stat3[:, 2, :].reshape(-1)
         # Validity by original index, not prefix: band-padded layouts
         # interleave padding inside the slice (materialize_slices).
         valid = sidx >= 0
@@ -294,9 +302,10 @@ def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
         out = (res.u, res.v, res.noise, res.iters, res.ran)
         return (res.model, res.seed, ws_h, st_h, en_h), out
 
-    scan_inputs = (xs, ys, ts, idx, starts, ends, bbox, nval)
     if stat3_all is not None:
-        scan_inputs = scan_inputs + (stat3_all,)
+        scan_inputs = (idx, starts, ends, bbox, nval, stat3_all)
+    else:
+        scan_inputs = (xs, ys, ts, idx, starts, ends, bbox, nval)
     final_carry, outs = lax.scan(step, carry0, scan_inputs)
     # Scalar checksum over the bulk outputs: fetching it to the host forces
     # true program completion (block_until_ready alone has shown async

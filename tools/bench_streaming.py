@@ -32,10 +32,23 @@ def main():
     from better_flow_tpu.io.synthetic import synthetic_events
     from better_flow_tpu.runtime.dvs_flow import DVSFlow
 
-    rate = float(sys.argv[1]) if len(sys.argv) > 1 else 430_000.0  # ev/s
-    duration = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    rate = float(args[0]) if args else 430_000.0  # ev/s
+    duration = float(args[1]) if len(args) > 1 else 2.0
+    # --config=low_latency (ROS preset, default) | default (the reference
+    # binary's own operating point: 50k/0.2 s slices, 20k/33 ms triggers,
+    # scale 3, unbounded iterations — bf_motion_compensator.cpp:6-10).
+    which = "low_latency"
+    for f in flags:
+        if f.startswith("--config="):
+            which = f.split("=", 1)[1]
+    if which == "low_latency":
+        cfg = low_latency_config()
+    else:
+        from better_flow_tpu.config import PipelineConfig
 
-    cfg = low_latency_config()
+        cfg = PipelineConfig()
     d = synthetic_events(
         int(rate * duration), duration_s=duration,
         res_x=cfg.sensor.res_x, res_y=cfg.sensor.res_y,
@@ -84,6 +97,7 @@ def main():
             "span_ms_med": round(float(np.median(spans_s)) * 1e3, 2),
             "lag_ms_final": round(float(lags[-1]), 1) if lags else None,
             "feed_rate_ev_s": rate,
+            "config": which,
             "device": str(jax.devices()[0]),
         },
     }
