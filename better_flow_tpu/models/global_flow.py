@@ -417,7 +417,7 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
         # parity schedule's own convergence test, post-doubling dividers.
         # (Exempting fresh-quotient components was tried and rejected: the
         # harmful exits ride fresh quotients too, and it saved nothing.)
-        exit_c = jnp.abs(d) < tol
+        exit_c = jnp.abs(d) < cfg.exit_delta_factor * tol
         if cfg.exit_grad_factor > 0:
             gref = jnp.abs(g) / jnp.stack(
                 [s.rot_div, s.div_div, s.x_div, s.y_div])
@@ -647,7 +647,7 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         dx_tol=cfg.dx_tol, dy_tol=cfg.dy_tol,
         xy_cap=cfg.xy_divider_cap, rotdiv_cap=cfg.rotdiv_divider_cap,
         max_iter=cfg.max_iter, hard_cap=cfg.iter_hard_cap,
-        exit_grad=cfg.exit_grad_factor,
+        exit_grad=cfg.exit_grad_factor, exit_delta=cfg.exit_delta_factor,
     )
 
     time_lo = cfg.splat_time_lo or cfg.schedule != "fast"

@@ -927,6 +927,7 @@ def _kernel_megastep(
     schedule: str, rot_tol: float, div_tol: float, dx_tol: float,
     dy_tol: float, xy_cap: float, rotdiv_cap: float, max_iter: int,
     hard_cap: int, time_lo: bool = True, exit_grad: float = 0.0,
+    exit_delta: float = 1.0,
 ):
     pid = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -992,7 +993,7 @@ def _kernel_megastep(
             schedule=schedule, rot_tol=rot_tol, div_tol=div_tol,
             dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
             rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
-            y_sh=y_sh, exit_grad=exit_grad,
+            y_sh=y_sh, exit_grad=exit_grad, exit_delta=exit_delta,
         )
 
 
@@ -1000,7 +1001,8 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
                         scale: int, schedule: str, rot_tol: float,
                         div_tol: float, dx_tol: float, dy_tol: float,
                         xy_cap: float, rotdiv_cap: float, max_iter: int,
-                        hard_cap: int, y_sh, exit_grad: float = 0.0):
+                        hard_cap: int, y_sh, exit_grad: float = 0.0,
+                        exit_delta: float = 1.0):
     """The scalar model update + convergence predicate shared by the
     single-device megastep (run in its final grid step) and the sharded
     finish kernel (run on the psum'd images): model_from_partials, both
@@ -1121,8 +1123,10 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
                 & (jnp.abs(g_dy / y_div) < 4.0 * dy_tol)
             )
             small = (
-                (jnp.abs(d_rot) < rot_tol) & (jnp.abs(d_div) < div_tol)
-                & (jnp.abs(d_dx) < dx_tol) & (jnp.abs(d_dy) < dy_tol)
+                (jnp.abs(d_rot) < exit_delta * rot_tol)
+                & (jnp.abs(d_div) < exit_delta * div_tol)
+                & (jnp.abs(d_dx) < exit_delta * dx_tol)
+                & (jnp.abs(d_dy) < exit_delta * dy_tol)
             ) & ((new_iters >= 2) | ref_small)
             if exit_grad > 0:
                 # Gradient-qualified exit (mirrors _fast_loop.cond): a
@@ -1193,7 +1197,8 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
                   schedule: str, rot_tol: float, div_tol: float,
                   dx_tol: float, dy_tol: float, xy_cap: float,
                   rotdiv_cap: float, max_iter: int, hard_cap: int,
-                  time_lo: bool = True, exit_grad: float = 0.0):
+                  time_lo: bool = True, exit_grad: float = 0.0,
+                  exit_delta: float = 1.0):
     """One full optimizer iteration as a single pallas_call.
 
     ``st`` is the (1, 32) SMEM state vector (ST_* layout above), ``geo`` the
@@ -1207,7 +1212,7 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
         max_iter=max_iter, hard_cap=hard_cap, time_lo=time_lo,
-        exit_grad=exit_grad,
+        exit_grad=exit_grad, exit_delta=exit_delta,
     )
     npr, st_out = pl.pallas_call(
         kern,
@@ -1429,7 +1434,7 @@ def _kernel_finish_st(
     HP: int, WP: int, H: int, W: int, schedule: str, rot_tol: float,
     div_tol: float, dx_tol: float, dy_tol: float, xy_cap: float,
     rotdiv_cap: float, max_iter: int, hard_cap: int,
-    exit_grad: float = 0.0,
+    exit_grad: float = 0.0, exit_delta: float = 1.0,
 ):
     vals = _finish_values(acc_t_ref, acc_c_ref, scale, HP, WP, H, W)
     _model_update_phase(
@@ -1437,7 +1442,7 @@ def _kernel_finish_st(
         scale=scale, schedule=schedule, rot_tol=rot_tol, div_tol=div_tol,
         dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
         rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
-        y_sh=geo_ref[0, 1], exit_grad=exit_grad,
+        y_sh=geo_ref[0, 1], exit_grad=exit_grad, exit_delta=exit_delta,
     )
 
 
@@ -1445,7 +1450,8 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
                          W: int, schedule: str, rot_tol: float,
                          div_tol: float, dx_tol: float, dy_tol: float,
                          xy_cap: float, rotdiv_cap: float, max_iter: int,
-                         hard_cap: int, exit_grad: float = 0.0):
+                         hard_cap: int, exit_grad: float = 0.0,
+                         exit_delta: float = 1.0):
     """Finish + model update on (psum'd) pre-filter images: the replicated
     second half of the sharded megastep.  Returns the next ST_* state."""
     HP, WP = acc_t.shape
@@ -1454,6 +1460,7 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
         max_iter=max_iter, hard_cap=hard_cap, exit_grad=exit_grad,
+        exit_delta=exit_delta,
     )
     return pl.pallas_call(
         kern,
