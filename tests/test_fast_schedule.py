@@ -216,6 +216,40 @@ def test_megastep_fast_matches_composed_slice():
                                    rtol=1e-3, atol=1e-2)
 
 
+def test_megastep_split_matches_monolithic_slice():
+    """The production fast presets now default to megastep_split=True (the
+    single-device iteration as the sharded path's two kernels, no psum) —
+    measured bit-exact vs the monolithic megastep on the real chip, both
+    schedules.  Pin the same property in interpret mode on CPU: identical
+    iteration counts and per-event outputs."""
+    from better_flow_tpu.core.events import make_slice
+    from better_flow_tpu.core.model import MotionModel
+    from better_flow_tpu.models.global_flow import process_slice
+
+    d = synthetic_events(3000, duration_s=0.1, res_x=24, res_y=32,
+                         n_points=60, seed=3, vx=8.0, vy=-5.0, rot=0.05,
+                         div=0.02)
+    ev = make_slice(d["x"], d["y"], d["t_ns"].astype(np.float64),
+                    capacity=3072)
+    for sched in ("fast", "reference"):
+        mk = lambda split: (
+            OptimizerConfig.fast(scale=3, min_events=500,
+                                 scatter_mode="pallas",
+                                 megastep_split=split)
+            if sched == "fast" else
+            OptimizerConfig(scale=3, min_events=500, scatter_mode="pallas",
+                            megastep_split=split))
+        mono = process_slice(ev, MotionModel.zero(), mk(False),
+                             SensorConfig(24, 32))
+        split = process_slice(ev, MotionModel.zero(), mk(True),
+                              SensorConfig(24, 32))
+        assert int(split.iters) == int(mono.iters), sched
+        np.testing.assert_array_equal(np.asarray(split.u),
+                                      np.asarray(mono.u), err_msg=sched)
+        np.testing.assert_array_equal(np.asarray(split.v),
+                                      np.asarray(mono.v), err_msg=sched)
+
+
 def test_megastep_fast_matches_composed_recording():
     """Recording-level statistical equivalence of the two schedule copies
     (same Pallas splat, hi+lo pair): per-slice iteration counts differ
