@@ -167,6 +167,17 @@ class OptimizerConfig:
     # psum (round-3 measured that path bit-exact vs the megastep on
     # chip).
     megastep_split: bool = False
+    # Merged megastep ("megastep2"): ONE kernel call per iteration, the
+    # finish/model-update of the previous iteration's images running in
+    # grid step 0 of the next call — removing a launch + state round trip
+    # per iteration and folding the final-warp epilogue away.  Bit-exact
+    # vs the split path (tested), but measured SLOWER on v5e (46.7 vs
+    # 49.3 M ev/s at 12M): a finish phase embedded in a multi-grid-step
+    # kernel compiles worse than the standalone finish kernel — the same
+    # Mosaic behavior that makes the monolithic megastep slower than the
+    # split.  Kept as a documented, tested experiment; takes precedence
+    # over megastep_split when True.
+    megastep_merged: bool = False
     # Hard bound on lax.while_loop iterations when max_iter < 0.  The
     # reference's divider caps guarantee termination (each divider at most
     # doubles ~9 times per parameter before its cap) but we bound the device

@@ -652,6 +652,10 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
 
     time_lo = cfg.splat_time_lo or cfg.schedule != "fast"
 
+    if axis_name is None and cfg.megastep_merged:
+        return _run_fused_mega2(ev, cfg, scale, H, W, stat, act, geo, st0,
+                                statics, time_lo, model0)
+
     def body(carry):
         st, pr = carry
         if axis_name is None and not cfg.megastep_split:
@@ -716,6 +720,60 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     pr_y = out[:, 1].reshape(-1)[:cap]
     nx = out[:, 2].reshape(-1)[:cap]
     ny = out[:, 3].reshape(-1)[:cap]
+    return m, pr_x, pr_y, nx, ny, iters, seed_out
+
+
+def _run_fused_mega2(ev, cfg, scale, H, W, stat, act, geo, st0, statics,
+                     time_lo, model0):
+    """Merged-megastep driver (OptimizerConfig.megastep_merged): one
+    kernel call per iteration with the previous iteration's finish at its
+    head; the exit call IS the final-warp epilogue.  See
+    ops/pallas/fused_model._kernel_megastep2."""
+    from better_flow_tpu.ops.pallas.fused_model import (
+        CHUNK, ST_CONT, ST_CDIV, ST_CDX, ST_CDY, ST_CNT, ST_CROT, ST_CX,
+        ST_CY, ST_DIV, ST_DX, ST_DY, ST_ITERS, ST_PD, ST_ROT, ST_SL,
+        ST_TDIV, ST_TDX, ST_TDY, ST_TROT, megastep2_call,
+        padded_image_shape,
+    )
+
+    HP, WP = padded_image_shape(H, W)
+    n_chunks = stat.shape[0]
+    img0 = jnp.zeros((HP, WP), jnp.float32)
+    pr0 = jnp.concatenate(
+        [stat[:, 0:2], jnp.zeros((n_chunks, 2, CHUNK), jnp.float32)],
+        axis=1)
+
+    def body(carry):
+        st, npr4, img_t, img_c = carry
+        npr4, st2, it2, ic2 = megastep2_call(
+            stat, act, npr4, st, img_t, img_c, geo, scale=scale, H=H, W=W,
+            time_lo=time_lo, **statics)
+        return (st2, npr4, it2, ic2)
+
+    # Unconditional first call (the head copies the state and forces
+    # CONT=1; optimizer_rolling.h:73-74's unconditional first step is the
+    # first FINISH, which runs at the head of call 2).
+    carry = body((st0, pr0, img0, img0))
+    st, npr4, _it, _ic = lax.while_loop(
+        lambda c: c[0][0, ST_CONT] > 0, body, carry)
+
+    m = model0._replace(
+        cx=st[0, ST_CX], cy=st[0, ST_CY], dx=st[0, ST_DX], dy=st[0, ST_DY],
+        rot=st[0, ST_ROT], div=st[0, ST_DIV], cnt=st[0, ST_CNT],
+        total_dx=st[0, ST_TDX], total_dy=st[0, ST_TDY],
+        total_rot=st[0, ST_TROT], total_div=st[0, ST_TDIV],
+        comp_dx=st[0, ST_CDX], comp_dy=st[0, ST_CDY],
+        comp_rot=st[0, ST_CROT], comp_div=st[0, ST_CDIV],
+    )
+    iters = st[0, ST_ITERS].astype(jnp.int32)
+    seed_out = jnp.concatenate(
+        [st[0, ST_SL:ST_SL + 4], st[0, ST_PD:ST_PD + 4]]
+    )
+    cap = ev.x.shape[0]
+    pr_x = npr4[:, 0].reshape(-1)[:cap]
+    pr_y = npr4[:, 1].reshape(-1)[:cap]
+    nx = npr4[:, 2].reshape(-1)[:cap]
+    ny = npr4[:, 3].reshape(-1)[:cap]
     return m, pr_x, pr_y, nx, ny, iters, seed_out
 
 

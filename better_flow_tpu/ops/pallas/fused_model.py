@@ -1477,3 +1477,181 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
         ),
         interpret=_interp(),
     )(geo, st, acc_t, acc_c)
+
+
+# --------------------------------------------------------------------------
+# Merged megastep ("megastep2"): ONE kernel call per iteration, with the
+# finish/model-update phase of the PREVIOUS iteration's images running in
+# grid step 0 of the NEXT call.  Vs the split megastep this removes one
+# kernel launch + one SMEM state round trip per iteration, resolves the
+# while-loop cond EARLY (CONT is computed at the START of a call, so the
+# cond for the next launch is ready before the 30 chunk splats run instead
+# of after), and folds the final-warp epilogue away entirely: the call
+# whose head-finish exits still warps every event with the FINAL model (and
+# emits nx/ny), then skips its splat — exactly the warp_uv epilogue, for
+# free.  Written op sequence per phase is identical to the split kernels
+# (_finish_values / _model_update_phase / _warp_chunk / _windowed_splat).
+
+ST_HAS = 30   # head-finish gate: 0 on a slice's first call (no images yet)
+
+
+def _kernel_megastep2(
+    geo_ref, st_ref, stat_ref, act_ref, pr_ref, img_t_ref, img_c_ref,
+    npr_ref, st_out_ref, acc_t, acc_c, fb_ref, *, scale: int, HP: int,
+    WP: int, H: int, W: int, schedule: str, rot_tol: float, div_tol: float,
+    dx_tol: float, dy_tol: float, xy_cap: float, rotdiv_cap: float,
+    max_iter: int, hard_cap: int, time_lo: bool = True,
+    exit_grad: float = 0.0, exit_delta: float = 1.0,
+):
+    pid = pl.program_id(0)
+    half = scale // 2
+    f32 = jnp.float32
+
+    @pl.when(pid == 0)
+    def _head():
+        acc_t[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        acc_c[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        fb_ref[0, 0] = f32(0)
+        has = st_ref[0, ST_HAS] > 0.5
+
+        @pl.when(has)
+        def _finish_prev():
+            vals = _finish_values(img_t_ref, img_c_ref, scale, HP, WP, H, W)
+            _model_update_phase(
+                st_ref, st_out_ref, vals, geo_ref[0, 0], f32(0),
+                scale=scale, schedule=schedule, rot_tol=rot_tol,
+                div_tol=div_tol, dx_tol=dx_tol, dy_tol=dy_tol,
+                xy_cap=xy_cap, rotdiv_cap=rotdiv_cap, max_iter=max_iter,
+                hard_cap=hard_cap, y_sh=geo_ref[0, 1],
+                exit_grad=exit_grad, exit_delta=exit_delta,
+            )
+            # _model_update_phase dropped the carried fallback count into
+            # ST_FB already (fb_val=0 here; this call's own splat adds at
+            # the tail step below).
+
+        @pl.when(~has)
+        def _first_call():
+            for k in range(32):
+                st_out_ref[0, k] = st_ref[0, k]
+            st_out_ref[0, ST_CONT] = f32(1)
+
+        st_out_ref[0, ST_HAS] = f32(1)
+
+    # All grid steps read the head-updated state (grid steps run
+    # sequentially on the core; pid 0 has already written st_out).
+    x_sh = geo_ref[0, 0]
+    y_sh = geo_ref[0, 1]
+    wd = geo_ref[0, 2]
+    hd = geo_ref[0, 3]
+    dnx_ = -st_out_ref[0, ST_TDX]
+    dny_ = -st_out_ref[0, ST_TDY]
+    crl = -st_out_ref[0, ST_TROT]
+    divp = st_out_ref[0, ST_TDIV]
+    cx = st_out_ref[0, ST_CX]
+    cy = st_out_ref[0, ST_CY]
+    cosv = jnp.cos(crl)
+    sinv = jnp.sin(crl)
+
+    stat = stat_ref[0]
+    frx = stat[0:1]
+    fry = stat[1:2]
+    t_ns = stat[2:3]
+    act = act_ref[0]
+    prb = pr_ref[0]
+
+    prx, pry = _warp_chunk(
+        frx, fry, t_ns, prb[0:1], prb[1:2],
+        dnx_, dny_, cx, cy, divp, cosv, sinv,
+    )
+    npr_ref[0, 0:1] = prx
+    npr_ref[0, 1:2] = pry
+    # Direction vectors (event.h:99-110 n overwrite) — free here, and they
+    # make the exit call the warp_uv epilogue.
+    rx = prb[0:1] - cx
+    ry = prb[1:2] - cy
+    rpx = cosv * rx - sinv * ry
+    rpy = sinv * rx + cosv * ry
+    npr_ref[0, 2:3] = -rpx * divp + (rpx - rx) + dnx_
+    npr_ref[0, 3:4] = -rpy * divp + (rpy - ry) + dny_
+
+    @pl.when(st_out_ref[0, ST_CONT] > 0)
+    def _splat():
+        fx = prx * f32(scale) + x_sh
+        fy = pry * f32(scale) + y_sh
+        ix = fx.astype(jnp.int32)
+        iy = fy.astype(jnp.int32)
+        ok = (
+            (act > 0)
+            & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
+            & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
+        )
+        row = jnp.where(ok, ix, -1)
+        colr = jnp.where(ok, iy, -1)
+        t_sec = t_ns / f32(1e9)
+        _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb_ref,
+                        lo=time_lo)
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _tail():
+        st_out_ref[0, ST_FB] = st_out_ref[0, ST_FB] + fb_ref[0, 0]
+
+
+def megastep2_call(stat, act, pr, st, img_t, img_c, geo, *, scale: int,
+                   H: int, W: int, schedule: str, rot_tol: float,
+                   div_tol: float, dx_tol: float, dy_tol: float,
+                   xy_cap: float, rotdiv_cap: float, max_iter: int,
+                   hard_cap: int, time_lo: bool = True,
+                   exit_grad: float = 0.0, exit_delta: float = 1.0):
+    """One merged iteration: head-finish of the previous images + warp +
+    splat.  Returns (npr[(nch, 4, CHUNK): pr_x, pr_y, nx, ny], st_out,
+    new_img_t, new_img_c)."""
+    HP, WP = padded_image_shape(H, W)
+    n_chunks = stat.shape[0]
+    kern = functools.partial(
+        _kernel_megastep2, scale=scale, HP=HP, WP=WP, H=H, W=W,
+        schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
+        dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
+        max_iter=max_iter, hard_cap=hard_cap, time_lo=time_lo,
+        exit_grad=exit_grad, exit_delta=exit_delta,
+    )
+    npr, st_out, acc_t, acc_c, _fb = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, WP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, WP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((HP, WP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, WP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, 4, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((1, 32), jnp.float32),
+            jax.ShapeDtypeStruct((HP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((HP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(geo, st, stat, act, pr, img_t, img_c)
+    return npr, st_out, acc_t, acc_c

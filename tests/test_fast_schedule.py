@@ -220,8 +220,9 @@ def test_megastep_split_matches_monolithic_slice():
     """The production fast presets now default to megastep_split=True (the
     single-device iteration as the sharded path's two kernels, no psum) —
     measured bit-exact vs the monolithic megastep on the real chip, both
-    schedules.  Pin the same property in interpret mode on CPU: identical
-    iteration counts and per-event outputs."""
+    schedules.  Pin the same property in interpret mode on CPU for the
+    split AND the merged (megastep2) variants: identical iteration counts
+    and per-event outputs."""
     from better_flow_tpu.core.events import make_slice
     from better_flow_tpu.core.model import MotionModel
     from better_flow_tpu.models.global_flow import process_slice
@@ -232,22 +233,37 @@ def test_megastep_split_matches_monolithic_slice():
     ev = make_slice(d["x"], d["y"], d["t_ns"].astype(np.float64),
                     capacity=3072)
     for sched in ("fast", "reference"):
-        mk = lambda split: (
+        mk = lambda **kw: (
             OptimizerConfig.fast(scale=3, min_events=500,
-                                 scatter_mode="pallas",
-                                 megastep_split=split)
+                                 scatter_mode="pallas", **kw)
             if sched == "fast" else
             OptimizerConfig(scale=3, min_events=500, scatter_mode="pallas",
-                            megastep_split=split))
-        mono = process_slice(ev, MotionModel.zero(), mk(False),
+                            **kw))
+        mono = process_slice(ev, MotionModel.zero(),
+                             mk(megastep_split=False),
                              SensorConfig(24, 32))
-        split = process_slice(ev, MotionModel.zero(), mk(True),
+        split = process_slice(ev, MotionModel.zero(),
+                              mk(megastep_split=True),
                               SensorConfig(24, 32))
+        merged = process_slice(ev, MotionModel.zero(),
+                               mk(megastep_merged=True),
+                               SensorConfig(24, 32))
         assert int(split.iters) == int(mono.iters), sched
         np.testing.assert_array_equal(np.asarray(split.u),
                                       np.asarray(mono.u), err_msg=sched)
         np.testing.assert_array_equal(np.asarray(split.v),
                                       np.asarray(mono.v), err_msg=sched)
+        # The merged kernel computes the final nx/ny in a different
+        # compilation than warp_uv; Mosaic contracts the 3-term rot/div
+        # expression differently there (documented ulp-level behavior),
+        # so the merged gate is iteration-exact + ulp-tolerant.
+        assert int(merged.iters) == int(mono.iters), sched
+        np.testing.assert_allclose(np.asarray(merged.u),
+                                   np.asarray(mono.u), rtol=1e-5,
+                                   atol=1e-4, err_msg=sched)
+        np.testing.assert_allclose(np.asarray(merged.v),
+                                   np.asarray(mono.v), rtol=1e-5,
+                                   atol=1e-4, err_msg=sched)
 
 
 def test_megastep_fast_matches_composed_recording():
