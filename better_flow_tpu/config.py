@@ -178,6 +178,14 @@ class OptimizerConfig:
     # split.  Kept as a documented, tested experiment; takes precedence
     # over megastep_split when True.
     megastep_merged: bool = False
+    # Iterations per while-loop trip of the SPLIT megastep drive (>1
+    # unrolls the body; past-exit halves are in-kernel no-ops via the
+    # CONT pass-through, so results are bit-identical).  Each while trip
+    # pays a cond/launch serialization (~12 us measured in situ vs the
+    # back-to-back kernel probes); unrolling amortizes it over more
+    # iterations at the cost of ~one cheap no-op pair on slices whose
+    # iteration count is not a multiple of the unroll.
+    megastep_unroll: int = 1
     # Hard bound on lax.while_loop iterations when max_iter < 0.  The
     # reference's divider caps guarantee termination (each divider at most
     # doubles ~9 times per parameter before its cap) but we bound the device

@@ -631,6 +631,11 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     vals[ST_RDIV] = jnp.float32(cfg.init_rotdiv_divider)
     vals[ST_DDIV] = jnp.float32(cfg.init_rotdiv_divider)
     vals[ST_CNT] = model0.cnt
+    from better_flow_tpu.ops.pallas.fused_model import ST_CONT as _ST_CONT
+    # CONT starts TRUE: the predicated split kernels treat CONT == 0 as a
+    # converged pass-through (loop unrolling), and the unconditional first
+    # step must be live.  The mono/merged drives ignore the initial value.
+    vals[_ST_CONT] = jnp.float32(1)
     if seed is not None and cfg.schedule == "fast":
         from better_flow_tpu.ops.pallas.fused_model import ST_SL
 
@@ -673,6 +678,20 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
             st2 = megastep_finish_call(
                 acc_t, acc_c, st, geo, scale=scale, H=H, W=W, **statics
             )
+            if cfg.megastep_unroll > 1:
+                # Unrolled pairs: halves the while-loop's per-trip
+                # cond/launch serialization; past-exit halves are
+                # in-kernel no-ops (CONT pass-through), so the unrolled
+                # loop is bit-identical to the one-iteration body.
+                for _ in range(cfg.megastep_unroll - 1):
+                    npr, acc_t, acc_c = warp_images_st_call(
+                        stat, act, npr, st2, geo, scale=scale, H=H, W=W,
+                        time_lo=time_lo,
+                    )
+                    st2 = megastep_finish_call(
+                        acc_t, acc_c, st2, geo, scale=scale, H=H, W=W,
+                        **statics
+                    )
         else:
             # Sharded megastep: shard-local warp+splat kernel -> one psum
             # of the linear pre-filter images over the event axis -> the

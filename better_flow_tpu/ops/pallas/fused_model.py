@@ -1341,47 +1341,59 @@ def _kernel_warp_images_st(
         acc_c[:, :] = jnp.zeros((HP, WP), jnp.float32)
         fb_ref[0, 0] = f32(0)
 
-    x_sh = geo_ref[0, 0]
-    y_sh = geo_ref[0, 1]
-    wd = geo_ref[0, 2]
-    hd = geo_ref[0, 3]
-    dnx_ = -st_ref[0, ST_TDX]
-    dny_ = -st_ref[0, ST_TDY]
-    crl = -st_ref[0, ST_TROT]
-    divp = st_ref[0, ST_TDIV]
-    cx = st_ref[0, ST_CX]
-    cy = st_ref[0, ST_CY]
-    cosv = jnp.cos(crl)
-    sinv = jnp.sin(crl)
+    live = st_ref[0, ST_CONT] > 0
 
-    stat = stat_ref[0]
-    frx = stat[0:1]
-    fry = stat[1:2]
-    t_ns = stat[2:3]
-    act = act_ref[0]
-    prb = pr_ref[0]
+    @pl.when(live)
+    def _live():
+        x_sh = geo_ref[0, 0]
+        y_sh = geo_ref[0, 1]
+        wd = geo_ref[0, 2]
+        hd = geo_ref[0, 3]
+        dnx_ = -st_ref[0, ST_TDX]
+        dny_ = -st_ref[0, ST_TDY]
+        crl = -st_ref[0, ST_TROT]
+        divp = st_ref[0, ST_TDIV]
+        cx = st_ref[0, ST_CX]
+        cy = st_ref[0, ST_CY]
+        cosv = jnp.cos(crl)
+        sinv = jnp.sin(crl)
 
-    prx, pry = _warp_chunk(
-        frx, fry, t_ns, prb[0:1], prb[1:2],
-        dnx_, dny_, cx, cy, divp, cosv, sinv,
-    )
-    npr_ref[0, 0:1] = prx
-    npr_ref[0, 1:2] = pry
+        stat = stat_ref[0]
+        frx = stat[0:1]
+        fry = stat[1:2]
+        t_ns = stat[2:3]
+        act = act_ref[0]
+        prb = pr_ref[0]
 
-    fx = prx * f32(scale) + x_sh
-    fy = pry * f32(scale) + y_sh
-    ix = fx.astype(jnp.int32)
-    iy = fy.astype(jnp.int32)
-    ok = (
-        (act > 0)
-        & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
-        & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
-    )
-    row = jnp.where(ok, ix, -1)
-    colr = jnp.where(ok, iy, -1)
-    t_sec = t_ns / f32(1e9)
-    _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb_ref,
-                    lo=time_lo)
+        prx, pry = _warp_chunk(
+            frx, fry, t_ns, prb[0:1], prb[1:2],
+            dnx_, dny_, cx, cy, divp, cosv, sinv,
+        )
+        npr_ref[0, 0:1] = prx
+        npr_ref[0, 1:2] = pry
+
+        fx = prx * f32(scale) + x_sh
+        fy = pry * f32(scale) + y_sh
+        ix = fx.astype(jnp.int32)
+        iy = fy.astype(jnp.int32)
+        ok = (
+            (act > 0)
+            & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
+            & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
+        )
+        row = jnp.where(ok, ix, -1)
+        colr = jnp.where(ok, iy, -1)
+        t_sec = t_ns / f32(1e9)
+        _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb_ref,
+                        lo=time_lo)
+
+    # A CONVERGED state (CONT == 0 — only reachable in the loop-unrolled
+    # drive, where a pair's second half may run past the exit) passes pr
+    # through untouched: the whole pair is then a no-op and the unrolled
+    # loop is bit-identical to the one-iteration body.
+    @pl.when(~live)
+    def _noop():
+        npr_ref[0, :, :] = pr_ref[0]
 
 
 def warp_images_st_call(stat, act, pr, st, geo, *, scale: int, H: int,
@@ -1436,14 +1448,25 @@ def _kernel_finish_st(
     rotdiv_cap: float, max_iter: int, hard_cap: int,
     exit_grad: float = 0.0, exit_delta: float = 1.0,
 ):
-    vals = _finish_values(acc_t_ref, acc_c_ref, scale, HP, WP, H, W)
-    _model_update_phase(
-        st_ref, st_out_ref, vals, geo_ref[0, 0], jnp.float32(0),
-        scale=scale, schedule=schedule, rot_tol=rot_tol, div_tol=div_tol,
-        dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
-        rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
-        y_sh=geo_ref[0, 1], exit_grad=exit_grad, exit_delta=exit_delta,
-    )
+    live = st_ref[0, ST_CONT] > 0
+
+    @pl.when(live)
+    def _live():
+        vals = _finish_values(acc_t_ref, acc_c_ref, scale, HP, WP, H, W)
+        _model_update_phase(
+            st_ref, st_out_ref, vals, geo_ref[0, 0], jnp.float32(0),
+            scale=scale, schedule=schedule, rot_tol=rot_tol,
+            div_tol=div_tol, dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
+            rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
+            y_sh=geo_ref[0, 1], exit_grad=exit_grad, exit_delta=exit_delta,
+        )
+
+    # Converged pass-through (loop-unrolled drive; see
+    # _kernel_warp_images_st).
+    @pl.when(~live)
+    def _noop():
+        for k in range(32):
+            st_out_ref[0, k] = st_ref[0, k]
 
 
 def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,

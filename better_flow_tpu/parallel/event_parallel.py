@@ -116,8 +116,7 @@ def _sharded_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0, cfg,
                   P(None, AXIS), P(None), P(None), P(None), P(None),
                   carry_spec),
         out_specs=(carry_spec,
-                   (P(None, AXIS), P(None, AXIS), P(None, AXIS),
-                    P(None), P(None)),
+                   (P(None, None, AXIS), P(None), P(None)),
                    P()),
         check_vma=False,
     )(xs, ys, ts, idx, starts, ends, bbox, nval, carry0)
@@ -148,8 +147,7 @@ def _sharded_scan_compact(xs16, ys16, ts, perm, starts, ends, bbox, nval,
                   P(None, AXIS), P(None), P(None), P(None), P(None),
                   carry_spec),
         out_specs=(carry_spec,
-                   (P(None, AXIS), P(None, AXIS), P(None, AXIS),
-                    P(None), P(None)),
+                   (P(None, None, AXIS), P(None), P(None)),
                    P()),
         check_vma=False,
     )(xs16, ys16, ts, perm, starts, ends, bbox, nval, carry0)
@@ -206,14 +204,14 @@ def compensate_recording_scan_sharded(
                         prepared["hist_k"], ws_h=ws_h, st_h=st_h, en_h=en_h)
     t0 = _time.perf_counter()
     if prepared["compact"]:
-        carry_out, (u, v, noise_s, iters, ran), chk = _sharded_scan_compact(
+        carry_out, (uvn, iters, ran), chk = _sharded_scan_compact(
             prepared["xs16"], prepared["ys16"], prepared["ts"],
             prepared["perm"], prepared["starts"], prepared["ends"],
             prepared["bbox"], prepared["nval"], carry0, cfg,
             prepared["hist_k"], mesh,
         )
     else:
-        carry_out, (u, v, noise_s, iters, ran), chk = _sharded_scan(
+        carry_out, (uvn, iters, ran), chk = _sharded_scan(
             prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
             prepared["starts"], prepared["ends"],
             prepared["bbox"], prepared["nval"], carry0, cfg,
@@ -227,7 +225,7 @@ def compensate_recording_scan_sharded(
     # padding inside the slice, so mask on idx >= 0, not a length prefix).
     from better_flow_tpu.runtime.scan_pipeline import _accumulate_first_wins
 
-    acc_u, acc_v, acc_noise = _accumulate_first_wins(prepared, u, v, noise_s)
+    acc_u, acc_v, acc_noise = _accumulate_first_wins(prepared, uvn)
 
     return {
         "u": acc_u, "v": acc_v, "noise": acc_noise, "model": final_model,

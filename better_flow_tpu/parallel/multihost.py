@@ -187,7 +187,7 @@ def _sharded_range(prepared, cfg, mesh, carry_in):
     S = len(plan.ends)
     t0 = _time.perf_counter()
     if prepared["compact"]:
-        carry_out, (u, v, noise_s, iters, ran), chk = \
+        carry_out, (uvn, iters, ran), chk = \
             event_parallel._sharded_scan_compact(
                 prepared["xs16"], prepared["ys16"], prepared["ts"],
                 prepared["perm"], prepared["starts"], prepared["ends"],
@@ -195,7 +195,7 @@ def _sharded_range(prepared, cfg, mesh, carry_in):
                 prepared["hist_k"], mesh,
             )
     else:
-        carry_out, (u, v, noise_s, iters, ran), chk = \
+        carry_out, (uvn, iters, ran), chk = \
             event_parallel._sharded_scan(
                 prepared["xs"], prepared["ys"], prepared["ts"],
                 prepared["idx"], prepared["starts"], prepared["ends"],
@@ -207,7 +207,7 @@ def _sharded_range(prepared, cfg, mesh, carry_in):
 
     from better_flow_tpu.runtime.scan_pipeline import _accumulate_first_wins
 
-    acc_u, acc_v, acc_noise = _accumulate_first_wins(prepared, u, v, noise_s)
+    acc_u, acc_v, acc_noise = _accumulate_first_wins(prepared, uvn)
 
     return {
         "u": acc_u, "v": acc_v, "noise": acc_noise, "model": carry_out[0],

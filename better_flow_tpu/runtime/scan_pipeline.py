@@ -299,7 +299,13 @@ def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
         ws_h = jnp.concatenate([ws_h[1:], res.window_small[None]])
         st_h = jnp.concatenate([st_h[1:], start[None]])
         en_h = jnp.concatenate([en_h[1:], end[None]])
-        out = (res.u, res.v, res.noise, res.iters, res.ran)
+        # ONE stacked (3, capp) per-event output instead of three separate
+        # scan ys: each dynamic-update-slice into a stacked output buffer
+        # costs ~6-7 us of mostly fixed overhead per slice (profiler,
+        # round 4) — one packed update pays it once.  Row 2 carries the
+        # noise flags as 0/1 f32; consumers unpack inside their own jit.
+        uvn = jnp.stack([res.u, res.v, res.noise.astype(jnp.float32)])
+        out = (uvn, res.iters, res.ran)
         return (res.model, res.seed, ws_h, st_h, en_h), out
 
     if stat3_all is not None:
@@ -310,7 +316,7 @@ def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
     # Scalar checksum over the bulk outputs: fetching it to the host forces
     # true program completion (block_until_ready alone has shown async
     # under-measurement artifacts through the axon relay).
-    chk = jnp.sum(outs[0]) + jnp.sum(outs[1])
+    chk = jnp.sum(outs[0][:, 0:2])
     if axis_name is not None:
         chk = lax.psum(chk, axis_name)  # replicated scalar out of shard_map
     return final_carry, outs, chk
@@ -534,7 +540,7 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
 
 
 @partial(jax.jit, static_argnames=("claim_cap",))
-def _accumulate_device_range(u, v, noise_s, perm, starts, claim_from,
+def _accumulate_device_range(uvn, perm, starts, claim_from,
                              claim_to, claim_cap: int):
     """Range variant of _accumulate_device: scatter only events whose
     original index falls in [claim_from, claim_to) into a COMPACT
@@ -547,27 +553,26 @@ def _accumulate_device_range(u, v, noise_s, perm, starts, claim_from,
     (the round-4 cold-path pipelining)."""
     def step(acc, inp):
         au, av, an = acc
-        us, vs, ns, ps, st = inp
+        pk, ps, st = inp
         valid = ps != PERM_SENTINEL
         orig = st + ps.astype(jnp.int32)
         ok = valid & (orig >= claim_from) & (orig < claim_to)
         tgt = jnp.where(ok, orig - claim_from, claim_cap)
-        au = au.at[tgt].set(us, mode="drop")
-        av = av.at[tgt].set(vs, mode="drop")
-        an = an.at[tgt].set(ns, mode="drop")
+        au = au.at[tgt].set(pk[0], mode="drop")
+        av = av.at[tgt].set(pk[1], mode="drop")
+        an = an.at[tgt].set(pk[2] != 0, mode="drop")
         return (au, av, an), None
     acc0 = (jnp.zeros(claim_cap, jnp.float32),
             jnp.zeros(claim_cap, jnp.float32),
             jnp.zeros(claim_cap, bool))
     rev = lambda a: a[::-1]
     (au, av, an), _ = lax.scan(
-        step, acc0,
-        (rev(u), rev(v), rev(noise_s), rev(perm), rev(starts)))
+        step, acc0, (rev(uvn), rev(perm), rev(starts)))
     return au, av, an
 
 
 @partial(jax.jit, static_argnames=("n",))
-def _accumulate_device(u, v, noise_s, perm, starts, claim_from, n: int,
+def _accumulate_device(uvn, perm, starts, claim_from, n: int,
                        acc0=None):
     """First-slice-wins accumulation ON DEVICE (compact layouts): scatter
     the per-slice outputs into full-recording [n] arrays in REVERSE slice
@@ -581,22 +586,21 @@ def _accumulate_device(u, v, noise_s, perm, starts, claim_from, n: int,
     and fetched bytes ARE the metric."""
     def step(acc, inp):
         au, av, an = acc
-        us, vs, ns, ps, st = inp
+        pk, ps, st = inp
         valid = ps != PERM_SENTINEL
         orig = st + ps.astype(jnp.int32)
         ok = valid & (orig >= claim_from)
         tgt = jnp.where(ok, orig, n)
-        au = au.at[tgt].set(us, mode="drop")
-        av = av.at[tgt].set(vs, mode="drop")
-        an = an.at[tgt].set(ns, mode="drop")
+        au = au.at[tgt].set(pk[0], mode="drop")
+        av = av.at[tgt].set(pk[1], mode="drop")
+        an = an.at[tgt].set(pk[2] != 0, mode="drop")
         return (au, av, an), None
     if acc0 is None:
         acc0 = (jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
                 jnp.zeros(n, bool))
     rev = lambda a: a[::-1]
     (au, av, an), _ = lax.scan(
-        step, acc0,
-        (rev(u), rev(v), rev(noise_s), rev(perm), rev(starts)))
+        step, acc0, (rev(uvn), rev(perm), rev(starts)))
     return au, av, an
 
 
@@ -615,7 +619,7 @@ def _initial_model(cfg: PipelineConfig) -> MotionModel:
     return MotionModel.zero()
 
 
-def _accumulate_first_wins(prepared, u, v, noise_s, acc=None, claimed=None):
+def _accumulate_first_wins(prepared, uvn, acc=None, claimed=None):
     """First-slice-wins accumulation by ORIGINAL index into (optionally
     pre-existing) full-recording arrays.  Slices are spatially sorted, so
     entry j of slice s corresponds to original event idx[s, j] /
@@ -625,9 +629,8 @@ def _accumulate_first_wins(prepared, u, v, noise_s, acc=None, claimed=None):
     disjoint.  ``claimed`` (optional bool[n], mutated in place) records
     which slots this call wrote — the explicit claim mask mixed
     compact/host merges overlay by."""
-    u = np.asarray(u)
-    v = np.asarray(v)
-    noise_s = np.asarray(noise_s)
+    uvn = np.asarray(uvn)
+    u, v, noise_s = uvn[:, 0], uvn[:, 1], uvn[:, 2] != 0
     plan = prepared["plan"]
     n = prepared["n"]
     idx_h = prepared["idx_host"]
@@ -699,14 +702,14 @@ def compensate_recording_scan(
                             st_h=st_h, en_h=en_h)
     t_run0 = time.perf_counter()
     if prepared["compact"]:
-        carry_out, (u, v, noise_s, iters, ran), chk = _scan_slices_compact(
+        carry_out, (uvn, iters, ran), chk = _scan_slices_compact(
             prepared["xs16"], prepared["ys16"], prepared["ts"],
             prepared["perm"], prepared["starts"], prepared["ends"],
             prepared["bbox"], prepared["nval"],
             carry0, cfg, prepared["hist_k"],
         )
     else:
-        carry_out, (u, v, noise_s, iters, ran), chk = _scan_slices(
+        carry_out, (uvn, iters, ran), chk = _scan_slices(
             prepared["xs"], prepared["ys"], prepared["ts"], prepared["idx"],
             prepared["starts"], prepared["ends"],
             prepared["bbox"], prepared["nval"],
@@ -720,14 +723,13 @@ def compensate_recording_scan(
         lo = prepared.get("slice_range", (0, 0))[0]
         claim_from = int(prepared["prev_end"]) + 1 if lo > 0 else 0
         au, av, an = _accumulate_device(
-            u, v, noise_s, prepared["perm"], prepared["starts"],
+            uvn, prepared["perm"], prepared["starts"],
             jnp.int32(claim_from), n)
         acc_u = np.asarray(au)
         acc_v = np.asarray(av)
         acc_noise = np.asarray(an)
     else:
-        acc_u, acc_v, acc_noise = _accumulate_first_wins(
-            prepared, u, v, noise_s)
+        acc_u, acc_v, acc_noise = _accumulate_first_wins(prepared, uvn)
     S = len(plan.ends)
 
     return {
@@ -907,10 +909,10 @@ def compensate_recording_cold(
             # Dispatch this batch's compact range accumulation right away
             # and start its device->host copy: the fetch streams while the
             # host sorts batch bi+1 and the device runs this batch.
-            u, v, noise_s, iters, ran = outs
+            uvn, iters, ran = outs
             cfrom, cto = claims[bi]
             acc = _accumulate_device_range(
-                u, v, noise_s, prep["perm"], prep["starts"],
+                uvn, prep["perm"], prep["starts"],
                 jnp.int32(cfrom), jnp.int32(cto), claim_cap)
             for a in acc:
                 a.copy_to_host_async()
@@ -934,7 +936,7 @@ def compensate_recording_cold(
                     "path (integral u16 coordinates)")
             batch_results.append(
                 tuple(np.asarray(a)[: claims[pb][1] - claims[pb][0]]
-                      for a in pacc) + (np.asarray(pouts[3]),))
+                      for a in pacc) + (np.asarray(pouts[1]),))
             host_carry = jax.tree_util.tree_map(np.asarray, pcarry)
             save_offline_checkpoint(
                 checkpoint_path, n=n, S=S, n_batch=n_batch, done=pb + 1,
@@ -952,7 +954,7 @@ def compensate_recording_cold(
                 "(integral u16 coordinates)")
         batch_results.append(
             tuple(np.asarray(a)[: claims[pb][1] - claims[pb][0]]
-                  for a in pacc) + (np.asarray(pouts[3]),))
+                  for a in pacc) + (np.asarray(pouts[1]),))
         host_carry = jax.tree_util.tree_map(np.asarray, pcarry)
         save_offline_checkpoint(
             checkpoint_path, n=n, S=S, n_batch=n_batch, done=pb + 1,
@@ -975,7 +977,7 @@ def compensate_recording_cold(
     acc_host = None
     host_claimed = None
     for bi, prep, outs, acc in launched:
-        u, v, noise_s, iters, ran = outs
+        uvn, iters, ran = outs
         iters_parts[bi] = np.asarray(iters)
         if acc is not None:
             cfrom, cto = claims[bi]
@@ -985,7 +987,7 @@ def compensate_recording_cold(
         else:
             if host_claimed is None:
                 host_claimed = np.zeros(n, bool)
-            acc_host = _accumulate_first_wins(prep, u, v, noise_s,
+            acc_host = _accumulate_first_wins(prep, uvn,
                                               acc=acc_host,
                                               claimed=host_claimed)
     if acc_host is not None:
