@@ -186,6 +186,13 @@ class OptimizerConfig:
     # iterations at the cost of ~one cheap no-op pair on slices whose
     # iteration count is not a multiple of the unroll.
     megastep_unroll: int = 1
+    # Chunks processed per grid step of the split megastep's warp+splat
+    # kernel (1 = one chunk per step; non-divisors of the chunk count
+    # fall back to 1).  MEASURED DEAD END at 2 on v5e (55.9 -> 40-44 M
+    # ev/s at 48M): one chunk per grid step is what lets Mosaic prefetch
+    # chunk j+1's blocks while chunk j computes; a wider block serializes
+    # that overlap.  Kept as a documented, bit-exact-tested experiment.
+    splat_pair: int = 1
     # Hard bound on lax.while_loop iterations when max_iter < 0.  The
     # reference's divider caps guarantee termination (each divider at most
     # doubles ~9 times per parameter before its cap) but we bound the device

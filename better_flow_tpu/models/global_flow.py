@@ -673,7 +673,7 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
             # sharded path, no psum (see OptimizerConfig.megastep_split).
             npr, acc_t, acc_c = warp_images_st_call(
                 stat, act, pr, st, geo, scale=scale, H=H, W=W,
-                time_lo=time_lo,
+                time_lo=time_lo, pair=cfg.splat_pair,
             )
             st2 = megastep_finish_call(
                 acc_t, acc_c, st, geo, scale=scale, H=H, W=W, **statics
@@ -686,7 +686,7 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
                 for _ in range(cfg.megastep_unroll - 1):
                     npr, acc_t, acc_c = warp_images_st_call(
                         stat, act, npr, st2, geo, scale=scale, H=H, W=W,
-                        time_lo=time_lo,
+                        time_lo=time_lo, pair=cfg.splat_pair,
                     )
                     st2 = megastep_finish_call(
                         acc_t, acc_c, st2, geo, scale=scale, H=H, W=W,

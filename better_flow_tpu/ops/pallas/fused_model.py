@@ -1330,6 +1330,7 @@ def warp_uv_call(stat, pr, dnx_, dny_, cx, cy, divp, crl):
 def _kernel_warp_images_st(
     geo_ref, st_ref, stat_ref, act_ref, pr_ref, npr_ref, acc_t, acc_c,
     fb_ref, *, scale: int, HP: int, WP: int, time_lo: bool = True,
+    pair: int = 1,
 ):
     pid = pl.program_id(0)
     half = scale // 2
@@ -1358,34 +1359,37 @@ def _kernel_warp_images_st(
         cosv = jnp.cos(crl)
         sinv = jnp.sin(crl)
 
-        stat = stat_ref[0]
-        frx = stat[0:1]
-        fry = stat[1:2]
-        t_ns = stat[2:3]
-        act = act_ref[0]
-        prb = pr_ref[0]
+        # ``pair`` > 1 processes several chunks per grid step (block
+        # leading dim), amortizing the per-step pipeline overhead.
+        for j in range(pair):
+            stat = stat_ref[j]
+            frx = stat[0:1]
+            fry = stat[1:2]
+            t_ns = stat[2:3]
+            act = act_ref[j]
+            prb = pr_ref[j]
 
-        prx, pry = _warp_chunk(
-            frx, fry, t_ns, prb[0:1], prb[1:2],
-            dnx_, dny_, cx, cy, divp, cosv, sinv,
-        )
-        npr_ref[0, 0:1] = prx
-        npr_ref[0, 1:2] = pry
+            prx, pry = _warp_chunk(
+                frx, fry, t_ns, prb[0:1], prb[1:2],
+                dnx_, dny_, cx, cy, divp, cosv, sinv,
+            )
+            npr_ref[j, 0:1] = prx
+            npr_ref[j, 1:2] = pry
 
-        fx = prx * f32(scale) + x_sh
-        fy = pry * f32(scale) + y_sh
-        ix = fx.astype(jnp.int32)
-        iy = fy.astype(jnp.int32)
-        ok = (
-            (act > 0)
-            & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
-            & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
-        )
-        row = jnp.where(ok, ix, -1)
-        colr = jnp.where(ok, iy, -1)
-        t_sec = t_ns / f32(1e9)
-        _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP, fb=fb_ref,
-                        lo=time_lo)
+            fx = prx * f32(scale) + x_sh
+            fy = pry * f32(scale) + y_sh
+            ix = fx.astype(jnp.int32)
+            iy = fy.astype(jnp.int32)
+            ok = (
+                (act > 0)
+                & (ix >= half) & (ix.astype(jnp.float32) < wd + half)
+                & (iy >= half) & (iy.astype(jnp.float32) < hd + half)
+            )
+            row = jnp.where(ok, ix, -1)
+            colr = jnp.where(ok, iy, -1)
+            t_sec = t_ns / f32(1e9)
+            _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP,
+                            fb=fb_ref, lo=time_lo)
 
     # A CONVERGED state (CONT == 0 — only reachable in the loop-unrolled
     # drive, where a pair's second half may run past the exit) passes pr
@@ -1393,33 +1397,37 @@ def _kernel_warp_images_st(
     # loop is bit-identical to the one-iteration body.
     @pl.when(~live)
     def _noop():
-        npr_ref[0, :, :] = pr_ref[0]
+        npr_ref[:, :, :] = pr_ref[:, :, :]
 
 
 def warp_images_st_call(stat, act, pr, st, geo, *, scale: int, H: int,
-                        W: int, time_lo: bool = True):
+                        W: int, time_lo: bool = True, pair: int = 1):
     """Shard-local half of the sharded megastep.  Returns
     (new_pr, acc_t, acc_c) — the pre-filter images are linear in events,
-    hence psum-combinable over the event mesh axis."""
+    hence psum-combinable over the event mesh axis.  ``pair`` chunks are
+    processed per grid step when it divides the chunk count (amortizes
+    per-step pipeline overhead)."""
     HP, WP = padded_image_shape(H, W)
     n_chunks = stat.shape[0]
+    if n_chunks % pair != 0:
+        pair = 1
     kern = functools.partial(_kernel_warp_images_st, scale=scale, HP=HP,
-                             WP=WP, time_lo=time_lo)
+                             WP=WP, time_lo=time_lo, pair=pair)
     npr, acc_t, acc_c, _fb = pl.pallas_call(
         kern,
-        grid=(n_chunks,),
+        grid=(n_chunks // pair,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3, CHUNK), lambda i: (i, 0, 0),
+            pl.BlockSpec((pair, 3, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+            pl.BlockSpec((pair, 1, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+            pl.BlockSpec((pair, 2, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
+            pl.BlockSpec((pair, 2, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((HP, WP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
