@@ -671,12 +671,14 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         elif axis_name is None:
             # Single-device split megastep: same two kernels as the
             # sharded path, no psum (see OptimizerConfig.megastep_split).
+            pred = 1 if cfg.megastep_unroll > 1 else 0
             npr, acc_t, acc_c = warp_images_st_call(
                 stat, act, pr, st, geo, scale=scale, H=H, W=W,
-                time_lo=time_lo, pair=cfg.splat_pair,
+                time_lo=time_lo, pair=cfg.splat_pair, predicated=pred,
             )
             st2 = megastep_finish_call(
-                acc_t, acc_c, st, geo, scale=scale, H=H, W=W, **statics
+                acc_t, acc_c, st, geo, scale=scale, H=H, W=W,
+                predicated=pred, **statics
             )
             if cfg.megastep_unroll > 1:
                 # Unrolled pairs: halves the while-loop's per-trip
@@ -687,10 +689,11 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
                     npr, acc_t, acc_c = warp_images_st_call(
                         stat, act, npr, st2, geo, scale=scale, H=H, W=W,
                         time_lo=time_lo, pair=cfg.splat_pair,
+                        predicated=1,
                     )
                     st2 = megastep_finish_call(
                         acc_t, acc_c, st2, geo, scale=scale, H=H, W=W,
-                        **statics
+                        predicated=1, **statics
                     )
         else:
             # Sharded megastep: shard-local warp+splat kernel -> one psum

@@ -1330,7 +1330,7 @@ def warp_uv_call(stat, pr, dnx_, dny_, cx, cy, divp, crl):
 def _kernel_warp_images_st(
     geo_ref, st_ref, stat_ref, act_ref, pr_ref, npr_ref, acc_t, acc_c,
     fb_ref, *, scale: int, HP: int, WP: int, time_lo: bool = True,
-    pair: int = 1,
+    pair: int = 1, predicated: int = 0,
 ):
     pid = pl.program_id(0)
     half = scale // 2
@@ -1342,10 +1342,7 @@ def _kernel_warp_images_st(
         acc_c[:, :] = jnp.zeros((HP, WP), jnp.float32)
         fb_ref[0, 0] = f32(0)
 
-    live = st_ref[0, ST_CONT] > 0
-
-    @pl.when(live)
-    def _live():
+    def _body():
         x_sh = geo_ref[0, 0]
         y_sh = geo_ref[0, 1]
         wd = geo_ref[0, 2]
@@ -1391,17 +1388,26 @@ def _kernel_warp_images_st(
             _windowed_splat(acc_t, acc_c, row, colr, t_sec, HP, WP,
                             fb=fb_ref, lo=time_lo)
 
-    # A CONVERGED state (CONT == 0 — only reachable in the loop-unrolled
-    # drive, where a pair's second half may run past the exit) passes pr
-    # through untouched: the whole pair is then a no-op and the unrolled
-    # loop is bit-identical to the one-iteration body.
-    @pl.when(~live)
-    def _noop():
-        npr_ref[:, :, :] = pr_ref[:, :, :]
+    if not predicated:
+        # Production shape: an unguarded body — wrapping the whole kernel
+        # in pl.when(CONT) measurably slows Mosaic's pipelining.
+        _body()
+    else:
+        # Loop-unrolled drive: a pair's second half may run past the
+        # exit; a CONVERGED state (CONT == 0) passes pr through
+        # untouched, so the unrolled loop is bit-identical to the
+        # one-iteration body.
+        live = st_ref[0, ST_CONT] > 0
+        pl.when(live)(_body)
+
+        @pl.when(~live)
+        def _noop():
+            npr_ref[:, :, :] = pr_ref[:, :, :]
 
 
 def warp_images_st_call(stat, act, pr, st, geo, *, scale: int, H: int,
-                        W: int, time_lo: bool = True, pair: int = 1):
+                        W: int, time_lo: bool = True, pair: int = 1,
+                        predicated: int = 0):
     """Shard-local half of the sharded megastep.  Returns
     (new_pr, acc_t, acc_c) — the pre-filter images are linear in events,
     hence psum-combinable over the event mesh axis.  ``pair`` chunks are
@@ -1412,7 +1418,8 @@ def warp_images_st_call(stat, act, pr, st, geo, *, scale: int, H: int,
     if n_chunks % pair != 0:
         pair = 1
     kern = functools.partial(_kernel_warp_images_st, scale=scale, HP=HP,
-                             WP=WP, time_lo=time_lo, pair=pair)
+                             WP=WP, time_lo=time_lo, pair=pair,
+                             predicated=predicated)
     npr, acc_t, acc_c, _fb = pl.pallas_call(
         kern,
         grid=(n_chunks // pair,),
@@ -1454,12 +1461,9 @@ def _kernel_finish_st(
     HP: int, WP: int, H: int, W: int, schedule: str, rot_tol: float,
     div_tol: float, dx_tol: float, dy_tol: float, xy_cap: float,
     rotdiv_cap: float, max_iter: int, hard_cap: int,
-    exit_grad: float = 0.0, exit_delta: float = 1.0,
+    exit_grad: float = 0.0, exit_delta: float = 1.0, predicated: int = 0,
 ):
-    live = st_ref[0, ST_CONT] > 0
-
-    @pl.when(live)
-    def _live():
+    def _body():
         vals = _finish_values(acc_t_ref, acc_c_ref, scale, HP, WP, H, W)
         _model_update_phase(
             st_ref, st_out_ref, vals, geo_ref[0, 0], jnp.float32(0),
@@ -1469,12 +1473,18 @@ def _kernel_finish_st(
             y_sh=geo_ref[0, 1], exit_grad=exit_grad, exit_delta=exit_delta,
         )
 
-    # Converged pass-through (loop-unrolled drive; see
-    # _kernel_warp_images_st).
-    @pl.when(~live)
-    def _noop():
-        for k in range(32):
-            st_out_ref[0, k] = st_ref[0, k]
+    if not predicated:
+        _body()
+    else:
+        live = st_ref[0, ST_CONT] > 0
+        pl.when(live)(_body)
+
+        # Converged pass-through (loop-unrolled drive; see
+        # _kernel_warp_images_st).
+        @pl.when(~live)
+        def _noop():
+            for k in range(32):
+                st_out_ref[0, k] = st_ref[0, k]
 
 
 def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
@@ -1482,7 +1492,7 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
                          div_tol: float, dx_tol: float, dy_tol: float,
                          xy_cap: float, rotdiv_cap: float, max_iter: int,
                          hard_cap: int, exit_grad: float = 0.0,
-                         exit_delta: float = 1.0):
+                         exit_delta: float = 1.0, predicated: int = 0):
     """Finish + model update on (psum'd) pre-filter images: the replicated
     second half of the sharded megastep.  Returns the next ST_* state."""
     HP, WP = acc_t.shape
@@ -1491,7 +1501,7 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
         max_iter=max_iter, hard_cap=hard_cap, exit_grad=exit_grad,
-        exit_delta=exit_delta,
+        exit_delta=exit_delta, predicated=predicated,
     )
     return pl.pallas_call(
         kern,

@@ -248,6 +248,13 @@ def test_megastep_split_matches_monolithic_slice():
         merged = process_slice(ev, MotionModel.zero(),
                                mk(megastep_merged=True),
                                SensorConfig(24, 32))
+        unrolled = process_slice(ev, MotionModel.zero(),
+                                 mk(megastep_split=True,
+                                    megastep_unroll=2),
+                                 SensorConfig(24, 32))
+        assert int(unrolled.iters) == int(mono.iters), sched
+        np.testing.assert_array_equal(np.asarray(unrolled.u),
+                                      np.asarray(split.u), err_msg=sched)
         assert int(split.iters) == int(mono.iters), sched
         np.testing.assert_array_equal(np.asarray(split.u),
                                       np.asarray(mono.u), err_msg=sched)
