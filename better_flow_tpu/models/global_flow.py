@@ -583,7 +583,29 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         ev.x, ev.y, ev.t, pr_prev_x, pr_prev_y,
         -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
     )
-    return m, pr_x, pr_y, nx, ny, final.iters, seed_out
+    uvn = _uvn_pack_from(nx, ny, ev)
+    return m, pr_x, pr_y, nx, ny, final.iters, seed_out, uvn
+
+
+def _uvn_pack_from(nx, ny, ev, window_small=None):
+    """Chunk-layout (nch, 3, CHUNK) [u, v, noise] pack — the slice scan's
+    per-event ys (see warp_uv_call).  noise row: ~active (| window_small);
+    padding slots get 1 and are dropped by every consumer's perm/idx
+    sentinel."""
+    from better_flow_tpu.config import NZ, UV_FACTOR
+    from better_flow_tpu.ops.pallas.fused_model import CHUNK
+
+    cap = nx.shape[0]
+    nch = -(-cap // CHUNK)
+    k = jnp.float32(UV_FACTOR / NZ)
+    noisef = 1.0 - ev.active.astype(jnp.float32)
+    if window_small is not None:
+        noisef = jnp.maximum(noisef, window_small.astype(jnp.float32))
+
+    def pad(a):
+        return jnp.pad(a, (0, nch * CHUNK - cap)).reshape(nch, CHUNK)
+
+    return jnp.stack([pad(nx * k), pad(ny * k), pad(noisef)], axis=1)
 
 
 def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
@@ -734,15 +756,17 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     from better_flow_tpu.ops.pallas.fused_model import warp_uv_call
 
     cap = ev.x.shape[0]
-    out = warp_uv_call(
-        stat, pr,
+    # window_small is 0 here by construction: process_slice only takes the
+    # run branch when the window gate did NOT fire.
+    out, uvn = warp_uv_call(
+        stat, pr, act, jnp.float32(0),
         -m.total_dx, -m.total_dy, m.cx, m.cy, m.total_div, -m.total_rot,
     )
     pr_x = out[:, 0].reshape(-1)[:cap]
     pr_y = out[:, 1].reshape(-1)[:cap]
     nx = out[:, 2].reshape(-1)[:cap]
     ny = out[:, 3].reshape(-1)[:cap]
-    return m, pr_x, pr_y, nx, ny, iters, seed_out
+    return m, pr_x, pr_y, nx, ny, iters, seed_out, uvn
 
 
 def _run_fused_mega2(ev, cfg, scale, H, W, stat, act, geo, st0, statics,
@@ -796,7 +820,12 @@ def _run_fused_mega2(ev, cfg, scale, H, W, stat, act, geo, st0, statics,
     pr_y = npr4[:, 1].reshape(-1)[:cap]
     nx = npr4[:, 2].reshape(-1)[:cap]
     ny = npr4[:, 3].reshape(-1)[:cap]
-    return m, pr_x, pr_y, nx, ny, iters, seed_out
+    from better_flow_tpu.config import NZ, UV_FACTOR
+
+    k = jnp.float32(UV_FACTOR / NZ)
+    uvn = jnp.stack(
+        [npr4[:, 2] * k, npr4[:, 3] * k, 1.0 - act[:, 0, :]], axis=1)
+    return m, pr_x, pr_y, nx, ny, iters, seed_out, uvn
 
 
 def process_slice(
@@ -811,6 +840,7 @@ def process_slice(
     seed=None,
     bbox=None,
     n_valid=None,
+    want_uvn: bool = False,
 ) -> SliceResult:
     """Process one slice end to end — jit over static (capacity, scale, res).
 
@@ -818,6 +848,14 @@ def process_slice(
     set_cloud (reset + geometry), set_model warm start unless disabled, run,
     then per-event compute_uv.  ``warm_start`` corresponds to !stm_disable
     (dvs_flow.h:218-219) and is a static flag.
+
+    ``want_uvn`` (static) additionally returns the slice scan's packed
+    per-event ys — a chunk-layout (nch, 3, CHUNK) [u, v, noise] array
+    finished inside the epilogue kernel (warp_uv_call) so the scan runs
+    zero per-event XLA passes after the loop — as ``(result, uvn)``.
+    ``uvn`` is None on the XLA path and on unsorted pallas calls (the
+    chunk layout tracks the sorted order); callers then pack it
+    themselves.
     """
     scale = cfg.scale
     H, W = static_image_shape(scale, sensor)
@@ -876,9 +914,11 @@ def process_slice(
                 model.total_div, -model.total_rot,
             )
             return (model, pr_x, pr_y, nx, ny, jnp.int32(0),
-                    jnp.zeros(8, jnp.float32))
+                    jnp.zeros(8, jnp.float32),
+                    _uvn_pack_from(nx, ny, ev,
+                                   window_small=geom.window_small))
 
-        final_model, pr_x, pr_y, nx, ny, iters, seed_out = lax.cond(
+        final_model, pr_x, pr_y, nx, ny, iters, seed_out, uvn = lax.cond(
             ran,
             lambda _: _run_fused(ev, geom, model, cfg, scale, H, W,
                                  stat3=stat3 if presorted else None,
@@ -912,6 +952,7 @@ def process_slice(
         final_model = final.model
         pr_x, pr_y, nx, ny = final.pr_x, final.pr_y, final.nx, final.ny
         iters = final.iters
+        uvn = None
 
     # The degenerate-window gate marks every event noise
     # (optimizer_rolling.h:52-54); the too-few gate does not.
@@ -922,7 +963,7 @@ def process_slice(
     if inv_order is not None:
         per_event = [jnp.take(a, inv_order, axis=0) for a in per_event]
     pr_x_o, pr_y_o, nx_o, ny_o, u_o, v_o, noise_o = per_event
-    return SliceResult(
+    res = SliceResult(
         model=final_model,
         pr_x=pr_x_o,
         pr_y=pr_y_o,
@@ -936,6 +977,9 @@ def process_slice(
         window_small=geom.window_small,
         seed=seed_out,
     )
+    if want_uvn:
+        return res, (uvn if inv_order is None else None)
+    return res
 
 
 def final_time_image(

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from better_flow_tpu.config import NONZERO_EPS
 from better_flow_tpu.config import NZ as _NZ
+from better_flow_tpu.config import UV_FACTOR as _UV_FACTOR
 from better_flow_tpu.config import WARP_TIME_DIV as _WARP_TIME_DIV
 
 # Events per grid step.  Larger chunks amortize per-step overhead and give
@@ -1250,18 +1251,27 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
     return npr, st_out
 
 
-def _kernel_warp_uv(scal_ref, stat_ref, pr_ref, out_ref):
+def _kernel_warp_uv(scal_ref, stat_ref, pr_ref, act_ref, out_ref,
+                    uvn_ref):
     """Final-warp epilogue: one warp-only pass producing (pr_x, pr_y, nx,
-    ny) per chunk.  This is the project_4param_reinit epilogue of the fused
-    loop (the megastep exits with pr one warp behind the model) as a kernel
-    instead of ~15 XLA elementwise passes per slice.  Same f32 op order as
-    ops/warp.py; compute_uv stays outside (two fused multiplies)."""
+    ny) AND the scan's finished per-event output row (u, v, noise) per
+    chunk.  This is the project_4param_reinit epilogue of the fused loop
+    (the megastep exits with pr one warp behind the model) as a kernel
+    instead of ~15 XLA elementwise passes per slice; emitting (u, v,
+    noise) here — flow = n * UV_FACTOR/NZ (event.h:135-142), noise =
+    ~active | window_small (optimizer_rolling.h:52-54, via the packed
+    activity row: ~act == the pre-loop noise flags on valid slots, and
+    padding slots are dropped by the accumulate's perm sentinel) — makes
+    the slice scan's stacked ys THIS kernel's second output verbatim,
+    with no per-event XLA passes after the loop.  Same f32 op order as
+    ops/warp.py."""
     dnx_ = scal_ref[0, 0]
     dny_ = scal_ref[0, 1]
     cx = scal_ref[0, 2]
     cy = scal_ref[0, 3]
     divp = scal_ref[0, 4]
     crl = scal_ref[0, 5]
+    wsmall = scal_ref[0, 6]     # window_small gate as 0/1
     cosv = jnp.cos(crl)
     sinv = jnp.sin(crl)
 
@@ -1270,6 +1280,7 @@ def _kernel_warp_uv(scal_ref, stat_ref, pr_ref, out_ref):
     fry = stat[1:2]
     t_ns = stat[2:3]
     prb = pr_ref[0]
+    act = act_ref[0]
 
     rx = prb[0:1] - cx
     ry = prb[1:2] - cy
@@ -1284,16 +1295,25 @@ def _kernel_warp_uv(scal_ref, stat_ref, pr_ref, out_ref):
     out_ref[0, 1:2] = fry - ky * ts
     out_ref[0, 2:3] = nx
     out_ref[0, 3:4] = ny
+    uv_k = jnp.float32(_UV_FACTOR / _NZ)
+    uvn_ref[0, 0:1] = nx * uv_k
+    uvn_ref[0, 1:2] = ny * uv_k
+    # noise = (valid & pre-loop-noise) | window_small; padding slots get 1,
+    # which every consumer drops via the perm/idx sentinel.
+    uvn_ref[0, 2:3] = jnp.maximum(1.0 - act, wsmall)
 
 
-def warp_uv_call(stat, pr, dnx_, dny_, cx, cy, divp, crl):
-    """Run the final-warp epilogue kernel.  Returns (nch, 4, CHUNK):
-    [pr_x, pr_y, nx, ny]."""
+def warp_uv_call(stat, pr, act, window_small, dnx_, dny_, cx, cy, divp,
+                 crl):
+    """Run the final-warp epilogue kernel.  Returns
+    (out (nch, 4, CHUNK): [pr_x, pr_y, nx, ny],
+     uvn (nch, 3, CHUNK): [u, v, noise]) — the latter is the slice scan's
+    per-event ys, finished in-kernel."""
     n_chunks = stat.shape[0]
     scal = jnp.stack(
         [jnp.asarray(v, jnp.float32)
-         for v in (dnx_, dny_, cx, cy, divp, crl)]
-        + [jnp.float32(0)] * 2
+         for v in (dnx_, dny_, cx, cy, divp, crl, window_small)]
+        + [jnp.float32(0)]
     ).reshape(1, 8)
     kern = _kernel_warp_uv
     return pl.pallas_call(
@@ -1305,15 +1325,24 @@ def warp_uv_call(stat, pr, dnx_, dny_, cx, cy, divp, crl):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4, CHUNK), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_chunks, 4, CHUNK), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, 4, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, 4, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, 3, CHUNK), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interp(),
-    )(scal, stat, pr)
+    )(scal, stat, pr, act)
 
 
 # --------------------------------------------------------------------------

@@ -116,7 +116,7 @@ def _sharded_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0, cfg,
                   P(None, AXIS), P(None), P(None), P(None), P(None),
                   carry_spec),
         out_specs=(carry_spec,
-                   (P(None, None, AXIS), P(None), P(None)),
+                   (P(None, AXIS, None, None), P(None), P(None)),
                    P()),
         check_vma=False,
     )(xs, ys, ts, idx, starts, ends, bbox, nval, carry0)
@@ -147,7 +147,7 @@ def _sharded_scan_compact(xs16, ys16, ts, perm, starts, ends, bbox, nval,
                   P(None, AXIS), P(None), P(None), P(None), P(None),
                   carry_spec),
         out_specs=(carry_spec,
-                   (P(None, None, AXIS), P(None), P(None)),
+                   (P(None, AXIS, None, None), P(None), P(None)),
                    P()),
         check_vma=False,
     )(xs16, ys16, ts, perm, starts, ends, bbox, nval, carry0)

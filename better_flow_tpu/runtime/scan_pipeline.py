@@ -292,19 +292,32 @@ def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
         # slices were spatially pre-sorted on the host (materialize_slices);
         # ``sd`` carries the secant slope memory across slices (fast schedule
         # only — the reference schedule returns and ignores zeros).
-        res = process_slice(ev, model, opt, sensor, warm_start=warm,
-                            presorted=True, stat3=stat3,
-                            axis_name=axis_name, seed=sd,
-                            bbox=bb, n_valid=nv)
+        res, uvn = process_slice(ev, model, opt, sensor, warm_start=warm,
+                                 presorted=True, stat3=stat3,
+                                 axis_name=axis_name, seed=sd,
+                                 bbox=bb, n_valid=nv, want_uvn=True)
         ws_h = jnp.concatenate([ws_h[1:], res.window_small[None]])
         st_h = jnp.concatenate([st_h[1:], start[None]])
         en_h = jnp.concatenate([en_h[1:], end[None]])
-        # ONE stacked (3, capp) per-event output instead of three separate
-        # scan ys: each dynamic-update-slice into a stacked output buffer
-        # costs ~6-7 us of mostly fixed overhead per slice (profiler,
-        # round 4) — one packed update pays it once.  Row 2 carries the
-        # noise flags as 0/1 f32; consumers unpack inside their own jit.
-        uvn = jnp.stack([res.u, res.v, res.noise.astype(jnp.float32)])
+        # ONE packed (nch, 3, CHUNK) per-event ys instead of three
+        # separate stacked outputs: each dynamic-update-slice into a
+        # stacked scan output costs ~6-7 us of mostly fixed overhead per
+        # slice (profiler, round 4).  On the fused path the pack IS the
+        # epilogue kernel's second output (warp_uv_call) — zero per-event
+        # XLA passes after the loop; the XLA path packs it here.  Row 2
+        # carries the noise flags as 0/1 f32 (1 on padding slots, dropped
+        # by the perm/idx sentinel); consumers unpack inside their own
+        # jit.
+        if uvn is None:
+            capn = res.u.shape[0]
+            nchp = -(-capn // CHUNK)
+            pad = lambda a: jnp.pad(
+                a, (0, nchp * CHUNK - capn)).reshape(nchp, CHUNK)
+            uvn = jnp.stack(
+                [pad(res.u), pad(res.v),
+                 pad(jnp.maximum(res.noise.astype(jnp.float32),
+                                 1.0 - valid.astype(jnp.float32)))],
+                axis=1)
         out = (uvn, res.iters, res.ran)
         return (res.model, res.seed, ws_h, st_h, en_h), out
 
@@ -316,7 +329,7 @@ def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
     # Scalar checksum over the bulk outputs: fetching it to the host forces
     # true program completion (block_until_ready alone has shown async
     # under-measurement artifacts through the axon relay).
-    chk = jnp.sum(outs[0][:, 0:2])
+    chk = jnp.sum(outs[0][:, :, 0:2])
     if axis_name is not None:
         chk = lax.psum(chk, axis_name)  # replicated scalar out of shard_map
     return final_carry, outs, chk
@@ -554,13 +567,15 @@ def _accumulate_device_range(uvn, perm, starts, claim_from,
     def step(acc, inp):
         au, av, an = acc
         pk, ps, st = inp
+        capp = ps.shape[0]
         valid = ps != PERM_SENTINEL
         orig = st + ps.astype(jnp.int32)
         ok = valid & (orig >= claim_from) & (orig < claim_to)
         tgt = jnp.where(ok, orig - claim_from, claim_cap)
-        au = au.at[tgt].set(pk[0], mode="drop")
-        av = av.at[tgt].set(pk[1], mode="drop")
-        an = an.at[tgt].set(pk[2] != 0, mode="drop")
+        au = au.at[tgt].set(pk[:, 0, :].reshape(-1)[:capp], mode="drop")
+        av = av.at[tgt].set(pk[:, 1, :].reshape(-1)[:capp], mode="drop")
+        an = an.at[tgt].set(pk[:, 2, :].reshape(-1)[:capp] != 0,
+                            mode="drop")
         return (au, av, an), None
     acc0 = (jnp.zeros(claim_cap, jnp.float32),
             jnp.zeros(claim_cap, jnp.float32),
@@ -587,13 +602,15 @@ def _accumulate_device(uvn, perm, starts, claim_from, n: int,
     def step(acc, inp):
         au, av, an = acc
         pk, ps, st = inp
+        capp = ps.shape[0]
         valid = ps != PERM_SENTINEL
         orig = st + ps.astype(jnp.int32)
         ok = valid & (orig >= claim_from)
         tgt = jnp.where(ok, orig, n)
-        au = au.at[tgt].set(pk[0], mode="drop")
-        av = av.at[tgt].set(pk[1], mode="drop")
-        an = an.at[tgt].set(pk[2] != 0, mode="drop")
+        au = au.at[tgt].set(pk[:, 0, :].reshape(-1)[:capp], mode="drop")
+        av = av.at[tgt].set(pk[:, 1, :].reshape(-1)[:capp], mode="drop")
+        an = an.at[tgt].set(pk[:, 2, :].reshape(-1)[:capp] != 0,
+                            mode="drop")
         return (au, av, an), None
     if acc0 is None:
         acc0 = (jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
@@ -629,8 +646,11 @@ def _accumulate_first_wins(prepared, uvn, acc=None, claimed=None):
     disjoint.  ``claimed`` (optional bool[n], mutated in place) records
     which slots this call wrote — the explicit claim mask mixed
     compact/host merges overlay by."""
-    uvn = np.asarray(uvn)
-    u, v, noise_s = uvn[:, 0], uvn[:, 1], uvn[:, 2] != 0
+    uvn = np.asarray(uvn)                    # [S, nch, 3, CHUNK]
+    S0 = uvn.shape[0]
+    u = uvn[:, :, 0, :].reshape(S0, -1)
+    v = uvn[:, :, 1, :].reshape(S0, -1)
+    noise_s = uvn[:, :, 2, :].reshape(S0, -1) != 0
     plan = prepared["plan"]
     n = prepared["n"]
     idx_h = prepared["idx_host"]
