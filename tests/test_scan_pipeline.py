@@ -150,3 +150,50 @@ def test_empty_and_tiny_recordings():
         r = fn(x, y, t, cfg)
         assert r["stats"]["n_slices"] >= 1
         assert len(r["u"]) == n
+
+
+def test_range_scan_gate_history_nondefault_fraction():
+    """Host-reconstructed pre-range window-gate history must agree with
+    the DEVICE gate for a non-default min_window_fraction (the round-4
+    advisor fix: geometry_from_bbox used to hardcode //15 while the host
+    history honored the config).  A recording whose early slices fire the
+    gate at fraction 6 but not at 15 is split at a range boundary; the
+    range scan seeded from the host history must reproduce the full
+    scan's noise flags exactly."""
+    from better_flow_tpu.runtime.scan_pipeline import (
+        make_carry,
+        plan_slices,
+        prepare_recording,
+    )
+    from better_flow_tpu.core.model import MotionModel
+
+    rng = np.random.default_rng(7)
+    n = 12_000
+    # A tight cluster: bbox ~8x11 px of a 64x80 sensor -> window_small
+    # fires at min_window_fraction=6 (3*7+3=24 < 64*3//6=32 and
+    # 3*10+3=33 < 80*3//6=40) but not at the default 15.
+    x = rng.integers(20, 28, n).astype(np.float64)
+    y = rng.integers(30, 41, n).astype(np.float64)
+    t = np.sort(rng.integers(0, int(0.3e9), n)).astype(np.int64)
+    cfg = PipelineConfig(
+        sensor=SensorConfig(64, 80),
+        slice=SliceConfig(max_events=3000, span_ns=int(0.1e9),
+                          refresh_events=1200, refresh_time_ns=int(0.05e9)),
+        optimizer=OptimizerConfig(scale=3, min_events=500,
+                                  min_window_fraction=6))
+    full = compensate_recording_scan(x, y, t, cfg)
+    assert full["noise"].any(), "scene must fire the fraction-6 gate"
+
+    S = len(plan_slices(t, cfg).ends)
+    mid = max(1, S // 2)
+    prep0 = prepare_recording(x, y, t, cfg, slice_range=(0, mid))
+    r0 = compensate_recording_scan(None, None, None, cfg, prepared=prep0)
+    prep1 = prepare_recording(x, y, t, cfg, slice_range=(mid, S))
+    ws_h, st_h, en_h = prep1["hist0"]
+    carry = make_carry(r0["carry"][0], prep1["hist_k"],
+                       seed=r0["carry"][1], ws_h=ws_h, st_h=st_h,
+                       en_h=en_h)
+    r1 = compensate_recording_scan(None, None, None, cfg, prepared=prep1,
+                                   carry_in=carry)
+    stitched = np.where(r0["noise"] | r1["noise"], True, False)
+    np.testing.assert_array_equal(stitched, full["noise"])
