@@ -69,6 +69,62 @@ class Viewer:
         img = cv2.GaussianBlur(img, (k, k), 0, 0)
         return img
 
+    def project_events_color(self, nx, ny, nz=127.0):
+        """bf_viewer.cpp:158-249 (project_events_color): HSV time-surface
+        of the warped slice — each event splats (cos a, sin a) with phase
+        angle a = 2*3.14 * (t - t_min)/(t_max - t_min) over its scale^2
+        footprint; per-pixel circular mean becomes hue = angle/2,
+        saturation = |mean|*255, value = 255, then HSV->BGR.  Quirks kept
+        from the C++: the 3.14/3.1416 pi constants and the uint8 counter
+        (a pixel whose count wraps to 0 mod 256 is skipped)."""
+        import cv2
+
+        scale = 3
+        H = self.res_x * scale + scale
+        W = self.res_y * scale + scale
+        out = np.zeros((H, W, 3), np.uint8)
+        if nz == 0:
+            return out
+        sel, lo = self._slice_mask()
+        ts = (self.t[sel] - lo).astype(np.float64)
+        if len(ts) == 0:
+            return out
+        kx, ky = nx / nz, ny / nz
+        px = scale * (self.x[sel] - ts / 10000.0 * kx)
+        py = scale * (self.y[sel] - ts / 10000.0 * ky)
+        ix = np.trunc(px).astype(np.int64)
+        iy = np.trunc(py).astype(np.int64)
+        ok = (ix >= 0) & (ix < scale * self.res_x) & (iy >= 0) & (
+            iy < scale * self.res_y)
+        t_sel = self.t[sel]
+        t_min = int(t_sel[0])
+        t_max = int(t_sel.max())
+        span = float(t_max - t_min) if t_max > t_min else 1.0
+        ang = 2.0 * 3.14 * ((t_sel - t_min).astype(np.float64) / span)
+        ca, sa = np.cos(ang)[ok], np.sin(ang)[ok]
+        acc_c = np.zeros((H, W), np.float64)
+        acc_s = np.zeros((H, W), np.float64)
+        cnt = np.zeros((H, W), np.int64)
+        for dx in range(scale):
+            for dy in range(scale):
+                np.add.at(acc_c, (ix[ok] + dx, iy[ok] + dy), ca)
+                np.add.at(acc_s, (ix[ok] + dx, iy[ok] + dy), sa)
+                np.add.at(cnt, (ix[ok] + dx, iy[ok] + dy), 1)
+        cnt_u8 = (cnt & 255).astype(np.float64)   # uchar counter quirk
+        nzm = cnt_u8 > 0
+        vx = np.where(nzm, acc_c / np.maximum(cnt_u8, 1), 0.0)
+        vy = np.where(nzm, acc_s / np.maximum(cnt_u8, 1), 0.0)
+        speed = np.hypot(vx, vy)
+        angle = np.where(speed != 0,
+                         (np.arctan2(vy, vx) + 3.1416) * 180.0 / 3.1416,
+                         0.0)
+        hsv = np.zeros((H, W, 3), np.uint8)
+        hsv[..., 0] = np.where(nzm, angle / 2.0, 0).astype(np.uint8)
+        hsv[..., 1] = np.clip(np.where(nzm, speed * 255.0, 0),
+                              0, 255).astype(np.uint8)
+        hsv[..., 2] = np.where(nzm, 255, 0).astype(np.uint8)
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+
     @staticmethod
     def nonzero_average(img) -> float:
         flat = np.asarray(img).ravel()
@@ -168,6 +224,9 @@ def main(argv=None) -> int:
     p.add_argument("end_time", type=float)
     p.add_argument("--out-prefix", default="./bf_viewer")
     p.add_argument("--metric-plot", action="store_true")
+    p.add_argument("--color-time", action="store_true",
+                   help="also write the HSV time-surface view "
+                        "(bf_viewer.cpp:158-249)")
     p.add_argument("--metric-step", type=float, default=0.01)
     p.add_argument("--interactive", action="store_true")
     args = p.parse_args(argv)
@@ -213,6 +272,11 @@ def main(argv=None) -> int:
                 (v.do_fft(img) * 255).astype(np.uint8))
     left, right = v.do_hist(img)
     print(f"histogram percentile cut: [{left}, {right}]")
+
+    if args.color_time:
+        cv2.imwrite(args.out_prefix + "_color_time.png",
+                    v.project_events_color(nx, ny))
+        print(f"color time surface -> {args.out_prefix}_color_time.png")
 
     if args.metric_plot:
         plot = v.generate_metric_plot(step=args.metric_step)

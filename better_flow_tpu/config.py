@@ -145,6 +145,22 @@ class OptimizerConfig:
     # deployments that can accept ~1.05x AEE; ignored by the reference
     # schedule.
     exit_delta_factor: float = 1.0
+    # Predicted-delta exit for the fast schedule (0 = off; round-5).  The
+    # round-4 iteration trace showed 66% of slices spending their LAST
+    # iteration purely confirming convergence: deltas miss tolerance by
+    # ~1.2x at iteration k, then iteration k+1 steps at ~0.02x tol — one
+    # full splat+finish (~72 us) proving a prediction the secant state
+    # already contains.  With this cap > 0, a component whose delta missed
+    # the tolerance may exit anyway when (a) its in-slice secant quotient
+    # is FRESH this iteration (valid2 — stale cross-slice memory is never
+    # trusted for prediction), (b) the local linear model's predicted next
+    # delta  d' = -0.9*(g + slope*d)/slope  is below tolerance, and (c)
+    # the actual delta is within exit_predict_cap * tol (prediction is
+    # only trusted near convergence).  The gradient-qualified exit
+    # (exit_grad_factor) still applies on top — the round-3 plateau
+    # failure mode (steep quotient, large g) remains blocked by it.
+    # Ignored by the reference schedule.
+    exit_predict_cap: float = 0.0
     # Run the single-device fused-Pallas path through the megastep kernel
     # (whole iteration incl. scalar model update in ONE pallas_call) when
     # eligible; False forces the composed per-kernel loop.  With the hi+lo

@@ -418,6 +418,30 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
         # (Exempting fresh-quotient components was tried and rejected: the
         # harmful exits ride fresh quotients too, and it saved nothing.)
         exit_c = jnp.abs(d) < cfg.exit_delta_factor * tol
+        if cfg.exit_predict_cap > 0:
+            # Predicted-delta exit (round-5): a component whose delta
+            # missed tolerance may exit anyway when the OBSERVED
+            # contraction predicts the next delta under half tolerance —
+            # the mode-4 "confirmation iteration" (deltas ~1.2x tol at
+            # k, ~0.02x tol at k+1) spends a full ~72 us splat proving
+            # this.  Predictor: next |delta| ~ |d| * (|d|/|prev_d|),
+            # valid only while contracting monotonically (|d| < |prev_d|)
+            # and near convergence (|d| < cap*tol).  The secant's own
+            # linear model (-0.9*g'/slope) was measured information-free
+            # here: with an unclamped Newton step it predicts a fixed
+            # 10x contraction regardless of the objective, degenerating
+            # the test to |d| < 10*tol (the documented exit_delta_factor
+            # chaos).  The observed ratio carries the objective's real
+            # terminal behavior; 0.5 is a safety margin on the
+            # prediction; the gradient-qualified exit below still
+            # applies.  Seed-swept quality table in BASELINE.md round 5.
+            ad = jnp.abs(d)
+            apd = jnp.abs(prev_d)
+            exit_c = exit_c | (
+                (apd > 0) & (ad < apd)
+                & (ad * ad / apd < 0.5 * tol)
+                & (ad < cfg.exit_predict_cap * tol)
+            )
         if cfg.exit_grad_factor > 0:
             gref = jnp.abs(g) / jnp.stack(
                 [s.rot_div, s.div_div, s.x_div, s.y_div])
@@ -429,6 +453,31 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
     # zero slope memory route every component to the reference step, as
     # the original schedule did).
     carry = body((state, prev_g0, prev_d0, slope0, jnp.bool_(False)))
+    import os as _os
+    if _os.environ.get("BF_DEBUG_FASTLOOP"):
+        # Eager Python replica of the while loop (debug only; identical
+        # math) — lets a harness log per-iteration internals.
+        trace = []
+
+        def _snap(c):
+            s_, g_, d_, sl_, es_ = c
+            trace.append(dict(
+                iters=int(s_.iters), g=np.asarray(g_), d=np.asarray(d_),
+                slope=np.asarray(sl_),
+                divs=np.asarray([float(s_.rot_div), float(s_.div_div),
+                                 float(s_.x_div), float(s_.y_div)]),
+                exit_small=bool(es_),
+                totals=np.asarray(_totals4(s_.model)),
+            ))
+
+        import numpy as np
+        _snap(carry)
+        while bool(cond(carry)):
+            carry = body(carry)
+            _snap(carry)
+        _fast_loop.last_trace = trace
+        final, g, d, slope_mem, _es = carry
+        return final, jnp.concatenate([slope_mem, d])
     final, g, d, slope_mem, _es = lax.while_loop(cond, body, carry)
     return final, jnp.concatenate([slope_mem, d])
 
@@ -675,6 +724,7 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         xy_cap=cfg.xy_divider_cap, rotdiv_cap=cfg.rotdiv_divider_cap,
         max_iter=cfg.max_iter, hard_cap=cfg.iter_hard_cap,
         exit_grad=cfg.exit_grad_factor, exit_delta=cfg.exit_delta_factor,
+        exit_pred=cfg.exit_predict_cap,
     )
 
     time_lo = cfg.splat_time_lo or cfg.schedule != "fast"

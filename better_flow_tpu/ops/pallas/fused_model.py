@@ -920,6 +920,8 @@ ST_DX, ST_DY, ST_ROT, ST_DIV = 24, 25, 26, 27        # last gradient g
               # two-point quotient and by the divider-doubling sign gate.
 ST_CNT = 28
 ST_FB = 29                                           # fallback chunks (cum.)
+# Slot 30 is ST_HAS (megastep2's head-finish gate, defined below) and is
+# PASSED THROUGH by _model_update_phase; slot 31 is spare (zeroed).
 
 
 def _kernel_megastep(
@@ -928,7 +930,7 @@ def _kernel_megastep(
     schedule: str, rot_tol: float, div_tol: float, dx_tol: float,
     dy_tol: float, xy_cap: float, rotdiv_cap: float, max_iter: int,
     hard_cap: int, time_lo: bool = True, exit_grad: float = 0.0,
-    exit_delta: float = 1.0,
+    exit_delta: float = 1.0, exit_pred: float = 0.0,
 ):
     pid = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -995,6 +997,7 @@ def _kernel_megastep(
             dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
             rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
             y_sh=y_sh, exit_grad=exit_grad, exit_delta=exit_delta,
+            exit_pred=exit_pred,
         )
 
 
@@ -1003,7 +1006,7 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
                         div_tol: float, dx_tol: float, dy_tol: float,
                         xy_cap: float, rotdiv_cap: float, max_iter: int,
                         hard_cap: int, y_sh, exit_grad: float = 0.0,
-                        exit_delta: float = 1.0):
+                        exit_delta: float = 1.0, exit_pred: float = 0.0):
     """The scalar model update + convergence predicate shared by the
     single-device megastep (run in its final grid step) and the sharded
     finish kernel (run on the psum'd images): model_from_partials, both
@@ -1123,12 +1126,34 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
                 & (jnp.abs(g_dx / x_div) < 4.0 * dx_tol)
                 & (jnp.abs(g_dy / y_div) < 4.0 * dy_tol)
             )
-            small = (
-                (jnp.abs(d_rot) < exit_delta * rot_tol)
-                & (jnp.abs(d_div) < exit_delta * div_tol)
-                & (jnp.abs(d_dx) < exit_delta * dx_tol)
-                & (jnp.abs(d_dy) < exit_delta * dy_tol)
-            ) & ((new_iters >= 2) | ref_small)
+            sm_rot = jnp.abs(d_rot) < exit_delta * rot_tol
+            sm_div = jnp.abs(d_div) < exit_delta * div_tol
+            sm_dx = jnp.abs(d_dx) < exit_delta * dx_tol
+            sm_dy = jnp.abs(d_dy) < exit_delta * dy_tol
+            if exit_pred > 0:
+                # Predicted-delta exit (mirrors _fast_loop exactly):
+                # observed-contraction predictor — next |delta| ~
+                # |d| * (|d|/|prev_d|), valid only while contracting
+                # monotonically and near convergence; prediction must
+                # land under HALF tolerance; the gradient-qualified
+                # exit below still applies.  (ST_PD still holds the
+                # PREVIOUS deltas here — the new ones are written
+                # after the exit test.)
+                def pred(d, pd, tol):
+                    ad = jnp.abs(d)
+                    apd = jnp.abs(pd)
+                    return (apd > 0) & (ad < apd) & (
+                        ad * ad / apd < 0.5 * tol) & (
+                        ad < exit_pred * tol)
+
+                sm_rot = sm_rot | pred(d_rot, st_ref[0, ST_PD + 0],
+                                       rot_tol)
+                sm_div = sm_div | pred(d_div, st_ref[0, ST_PD + 1],
+                                       div_tol)
+                sm_dx = sm_dx | pred(d_dx, st_ref[0, ST_PD + 2], dx_tol)
+                sm_dy = sm_dy | pred(d_dy, st_ref[0, ST_PD + 3], dy_tol)
+            small = (sm_rot & sm_div & sm_dx & sm_dy) & (
+                (new_iters >= 2) | ref_small)
             if exit_grad > 0:
                 # Gradient-qualified exit (mirrors _fast_loop.cond): a
                 # trust-region-clamped secant step can be sub-tolerance
@@ -1190,7 +1215,11 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
         st_out_ref[0, ST_DIV] = g_div
         st_out_ref[0, ST_CNT] = cnt
         st_out_ref[0, ST_FB] = st_ref[0, ST_FB] + fb_val
-        st_out_ref[0, 30] = f32(0)
+        # Slot 30 is ST_HAS (megastep2's head-finish gate) — pass it
+        # through rather than zeroing so callers that repurpose it do not
+        # depend on re-writing it after this phase (the merged kernel's
+        # head still sets it explicitly; every other drive leaves it 0).
+        st_out_ref[0, 30] = st_ref[0, 30]
         st_out_ref[0, 31] = f32(0)
 
 
@@ -1199,7 +1228,7 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
                   dx_tol: float, dy_tol: float, xy_cap: float,
                   rotdiv_cap: float, max_iter: int, hard_cap: int,
                   time_lo: bool = True, exit_grad: float = 0.0,
-                  exit_delta: float = 1.0):
+                  exit_delta: float = 1.0, exit_pred: float = 0.0):
     """One full optimizer iteration as a single pallas_call.
 
     ``st`` is the (1, 32) SMEM state vector (ST_* layout above), ``geo`` the
@@ -1213,7 +1242,7 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
         max_iter=max_iter, hard_cap=hard_cap, time_lo=time_lo,
-        exit_grad=exit_grad, exit_delta=exit_delta,
+        exit_grad=exit_grad, exit_delta=exit_delta, exit_pred=exit_pred,
     )
     npr, st_out = pl.pallas_call(
         kern,
@@ -1490,7 +1519,8 @@ def _kernel_finish_st(
     HP: int, WP: int, H: int, W: int, schedule: str, rot_tol: float,
     div_tol: float, dx_tol: float, dy_tol: float, xy_cap: float,
     rotdiv_cap: float, max_iter: int, hard_cap: int,
-    exit_grad: float = 0.0, exit_delta: float = 1.0, predicated: int = 0,
+    exit_grad: float = 0.0, exit_delta: float = 1.0,
+    exit_pred: float = 0.0, predicated: int = 0,
 ):
     def _body():
         vals = _finish_values(acc_t_ref, acc_c_ref, scale, HP, WP, H, W)
@@ -1500,6 +1530,7 @@ def _kernel_finish_st(
             div_tol=div_tol, dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
             rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
             y_sh=geo_ref[0, 1], exit_grad=exit_grad, exit_delta=exit_delta,
+            exit_pred=exit_pred,
         )
 
     if not predicated:
@@ -1521,7 +1552,8 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
                          div_tol: float, dx_tol: float, dy_tol: float,
                          xy_cap: float, rotdiv_cap: float, max_iter: int,
                          hard_cap: int, exit_grad: float = 0.0,
-                         exit_delta: float = 1.0, predicated: int = 0):
+                         exit_delta: float = 1.0, exit_pred: float = 0.0,
+                         predicated: int = 0):
     """Finish + model update on (psum'd) pre-filter images: the replicated
     second half of the sharded megastep.  Returns the next ST_* state."""
     HP, WP = acc_t.shape
@@ -1530,7 +1562,7 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
         max_iter=max_iter, hard_cap=hard_cap, exit_grad=exit_grad,
-        exit_delta=exit_delta, predicated=predicated,
+        exit_delta=exit_delta, exit_pred=exit_pred, predicated=predicated,
     )
     return pl.pallas_call(
         kern,
@@ -1572,6 +1604,7 @@ def _kernel_megastep2(
     dx_tol: float, dy_tol: float, xy_cap: float, rotdiv_cap: float,
     max_iter: int, hard_cap: int, time_lo: bool = True,
     exit_grad: float = 0.0, exit_delta: float = 1.0,
+    exit_pred: float = 0.0,
 ):
     pid = pl.program_id(0)
     half = scale // 2
@@ -1594,6 +1627,7 @@ def _kernel_megastep2(
                 xy_cap=xy_cap, rotdiv_cap=rotdiv_cap, max_iter=max_iter,
                 hard_cap=hard_cap, y_sh=geo_ref[0, 1],
                 exit_grad=exit_grad, exit_delta=exit_delta,
+                exit_pred=exit_pred,
             )
             # _model_update_phase dropped the carried fallback count into
             # ST_FB already (fb_val=0 here; this call's own splat adds at
@@ -1671,7 +1705,8 @@ def megastep2_call(stat, act, pr, st, img_t, img_c, geo, *, scale: int,
                    div_tol: float, dx_tol: float, dy_tol: float,
                    xy_cap: float, rotdiv_cap: float, max_iter: int,
                    hard_cap: int, time_lo: bool = True,
-                   exit_grad: float = 0.0, exit_delta: float = 1.0):
+                   exit_grad: float = 0.0, exit_delta: float = 1.0,
+                   exit_pred: float = 0.0):
     """One merged iteration: head-finish of the previous images + warp +
     splat.  Returns (npr[(nch, 4, CHUNK): pr_x, pr_y, nx, ny], st_out,
     new_img_t, new_img_c)."""
@@ -1682,7 +1717,7 @@ def megastep2_call(stat, act, pr, st, img_t, img_c, geo, *, scale: int,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
         max_iter=max_iter, hard_cap=hard_cap, time_lo=time_lo,
-        exit_grad=exit_grad, exit_delta=exit_delta,
+        exit_grad=exit_grad, exit_delta=exit_delta, exit_pred=exit_pred,
     )
     npr, st_out, acc_t, acc_c, _fb = pl.pallas_call(
         kern,

@@ -775,8 +775,18 @@ def compensate_recording_scan(
 _CKPT_VERSION = 1
 
 
+def config_digest(cfg: PipelineConfig) -> str:
+    """Deterministic digest of the effective pipeline/optimizer config.
+    Frozen dataclasses repr every field, so ANY knob change (tolerances,
+    schedule, exit factors, slice geometry, f64_totals, ...) changes the
+    digest — resuming a checkpoint under a different config would stitch
+    batches computed under two configs into an output that is
+    bit-identical to NO single run."""
+    return repr(cfg)
+
+
 def save_offline_checkpoint(path, *, n, S, n_batch, done, carry,
-                            batch_results):
+                            batch_results, cfg: PipelineConfig = None):
     """Persist the cold pipeline's state at a batch boundary: the scan
     carry (model + secant seed + window-gate history — the exact multihost
     hand-off payload) plus each completed batch's compact claimed results.
@@ -792,6 +802,8 @@ def save_offline_checkpoint(path, *, n, S, n_batch, done, carry,
         "carry_seed": np.asarray(seed), "carry_ws": np.asarray(ws_h),
         "carry_st": np.asarray(st_h), "carry_en": np.asarray(en_h),
     }
+    if cfg is not None:
+        state["config_digest"] = np.asarray(config_digest(cfg))
     for f in MotionModel._fields:
         state[f"carry_model_{f}"] = np.asarray(getattr(model, f))
     for b, (au, av, an, iters) in enumerate(batch_results):
@@ -804,11 +816,15 @@ def save_offline_checkpoint(path, *, n, S, n_batch, done, carry,
     os.replace(tmp, str(path))
 
 
-def load_offline_checkpoint(path, *, n, S, n_batch, hist_k):
+def load_offline_checkpoint(path, *, n, S, n_batch, hist_k,
+                            cfg: PipelineConfig = None, claims=None):
     """Load and validate a cold-pipeline checkpoint.  Returns
     (done_batches, carry, batch_results) or None when the file is absent.
-    Raises when the checkpoint belongs to a different recording/config
-    split (n, S or n_batch mismatch)."""
+    Raises when the checkpoint belongs to a different recording, config
+    (digest of the full PipelineConfig — tolerances, schedule, exit
+    factors all count) or batch split (n, S or n_batch mismatch), and
+    when the stored arrays are truncated/inconsistent (carry history
+    lengths, per-batch result lengths vs ``claims``)."""
     from better_flow_tpu.core.model import MotionModel
 
     if not os.path.exists(str(path)):
@@ -821,18 +837,49 @@ def load_offline_checkpoint(path, *, n, S, n_batch, hist_k):
             raise ValueError(
                 f"checkpoint mismatch: {key}={int(z[key])} but this run has "
                 f"{want} — wrong recording, config, or n_batch")
+    if cfg is not None and "config_digest" in z:
+        have = str(z["config_digest"])
+        want_d = config_digest(cfg)
+        if have != want_d:
+            raise ValueError(
+                "checkpoint config mismatch: the checkpoint was written "
+                f"under a different PipelineConfig.\n  checkpoint: {have}\n"
+                f"  this run:  {want_d}\nResuming would stitch batches "
+                "computed under two different configs.")
+    if cfg is not None and cfg.f64_totals and not jax.config.jax_enable_x64:
+        # Same validation as _initial_model: without x64 the f64 carry
+        # totals below would silently downcast to f32 on jnp.asarray.
+        raise ValueError(
+            "cfg.f64_totals requires x64 mode to resume (jax.experimental."
+            "enable_x64() or jax_enable_x64=True); without it the "
+            "checkpointed f64 carry would silently downcast to f32")
     model = MotionModel(
         *(jnp.asarray(z[f"carry_model_{f}"]) for f in MotionModel._fields))
     ws = np.asarray(z["carry_ws"])
     if len(ws) != hist_k:
         raise ValueError("checkpoint hist_k mismatch")
+    st_h = np.asarray(z["carry_st"])
+    en_h = np.asarray(z["carry_en"])
+    if len(st_h) != hist_k or len(en_h) != hist_k:
+        raise ValueError(
+            f"checkpoint carry history truncated: st/en lengths "
+            f"{len(st_h)}/{len(en_h)} != hist_k {hist_k}")
     carry = (model, jnp.asarray(z["carry_seed"]), jnp.asarray(ws),
-             jnp.asarray(z["carry_st"]), jnp.asarray(z["carry_en"]))
+             jnp.asarray(st_h), jnp.asarray(en_h))
     done = int(z["done_batches"])
-    batch_results = [
-        (z[f"acc_u_{b}"], z[f"acc_v_{b}"], z[f"acc_n_{b}"], z[f"iters_{b}"])
-        for b in range(done)
-    ]
+    batch_results = []
+    for b in range(done):
+        row = (z[f"acc_u_{b}"], z[f"acc_v_{b}"], z[f"acc_n_{b}"],
+               z[f"iters_{b}"])
+        if claims is not None:
+            want_len = claims[b][1] - claims[b][0]
+            for name, a in zip(("acc_u", "acc_v", "acc_n"), row[:3]):
+                if len(a) != want_len:
+                    raise ValueError(
+                        f"checkpoint batch {b} {name} length {len(a)} != "
+                        f"claim range {want_len} — truncated or edited "
+                        "checkpoint")
+        batch_results.append(row)
     return done, carry, batch_results
 
 
@@ -903,7 +950,8 @@ def compensate_recording_cold(
         hist_k = max(1, int(np.max(np.arange(S) - first_overlap,
                                    initial=1)))
         loaded = load_offline_checkpoint(checkpoint_path, n=n, S=S,
-                                         n_batch=n_batch, hist_k=hist_k)
+                                         n_batch=n_batch, hist_k=hist_k,
+                                         cfg=cfg, claims=claims)
         if loaded is not None:
             done, carry, batch_results = loaded
 
@@ -960,7 +1008,7 @@ def compensate_recording_cold(
             host_carry = jax.tree_util.tree_map(np.asarray, pcarry)
             save_offline_checkpoint(
                 checkpoint_path, n=n, S=S, n_batch=n_batch, done=pb + 1,
-                carry=host_carry, batch_results=batch_results)
+                carry=host_carry, batch_results=batch_results, cfg=cfg)
         pending_ckpt = (bi, carry)
 
     # Finalize the last batch's checkpoint (the run is complete here, so
@@ -978,7 +1026,7 @@ def compensate_recording_cold(
         host_carry = jax.tree_util.tree_map(np.asarray, pcarry)
         save_offline_checkpoint(
             checkpoint_path, n=n, S=S, n_batch=n_batch, done=pb + 1,
-            carry=host_carry, batch_results=batch_results)
+            carry=host_carry, batch_results=batch_results, cfg=cfg)
 
     # Stitch: checkpointed/completed batches first, then the batches this
     # run launched.  Compact batches place their contiguous claim range;

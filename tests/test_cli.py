@@ -100,6 +100,27 @@ def test_viewer_analysis(rec_file, tmp_path):
     assert os.path.exists(prefix + "_sobel.png")
 
 
+def test_viewer_color_time(rec_file, tmp_path):
+    """--color-time writes the HSV time-surface (bf_viewer.cpp:158-249):
+    hue encodes slice-time phase, so a moving scene must produce multiple
+    distinct hues and only on event-covered pixels."""
+    prefix = str(tmp_path / "vc")
+    r = _run([
+        "better_flow_tpu.cli.viewer", rec_file, "0.0", "0.25",
+        "--out-prefix", prefix, "--color-time",
+    ])
+    assert r.returncode == 0, r.stderr[-500:]
+    import cv2
+
+    img = cv2.imread(prefix + "_color_time.png")
+    assert img is not None and img.ndim == 3
+    covered = img.any(axis=2)
+    assert covered.any() and not covered.all()
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    hues = np.unique(hsv[..., 0][covered])
+    assert len(hues) > 8, f"expected a hue spread over time, got {hues}"
+
+
 def test_viewer_empty_window(rec_file):
     r = _run(["better_flow_tpu.cli.viewer", rec_file, "9.0", "9.5"])
     assert r.returncode == 1

@@ -116,3 +116,40 @@ def test_checkpoint_mismatch_raises(recording, tmp_path):
         compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
                                   n_batch=3, checkpoint_path=ckpt,
                                   resume=True)
+
+
+def test_checkpoint_config_digest_rejects_different_config(recording,
+                                                           tmp_path):
+    """Round-4 advisor (medium): changing the OPTIMIZER config between the
+    killed run and the resume leaves n/S/n_batch unchanged, so without a
+    config digest the resume silently stitched batches computed under two
+    different configs.  The digest must reject it."""
+    d = recording
+    cfg = _cfg()
+    ckpt = str(tmp_path / "cfg.ckpt.npz")
+    compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg, n_batch=2,
+                              checkpoint_path=ckpt)
+    # Same slicing (n, S, n_batch identical) — only a tolerance changes.
+    cfg2 = PipelineConfig(optimizer=OptimizerConfig(scale=3, dx_tol=2e-4))
+    with pytest.raises(ValueError, match="config"):
+        compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg2,
+                                  n_batch=2, checkpoint_path=ckpt,
+                                  resume=True)
+
+
+def test_checkpoint_truncated_results_rejected(recording, tmp_path):
+    """Round-4 advisor (low): a truncated/hand-edited checkpoint must fail
+    at load time with a clear validation error, not deep in the scan."""
+    d = recording
+    cfg = _cfg()
+    ckpt = str(tmp_path / "trunc.ckpt.npz")
+    compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg, n_batch=2,
+                              checkpoint_path=ckpt)
+    z = dict(np.load(ckpt, allow_pickle=False))
+    assert int(z["done_batches"]) >= 1
+    z["acc_u_0"] = z["acc_u_0"][:-5]          # truncate one result array
+    np.savez(ckpt, **z)
+    with pytest.raises(ValueError, match="length"):
+        compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                  n_batch=2, checkpoint_path=ckpt,
+                                  resume=True)
