@@ -11,6 +11,22 @@ with the motion model carried across slices as the warm start
 computed arithmetically (count trigger) and with searchsorted (time trigger),
 giving semantics identical to calling add_event per event
 (dvs_flow.h:163-181) without a Python-level per-event loop.
+
+Latency pipelining (round-5): through the axon relay a device round trip
+costs ~100 ms while the device computes for ~1 ms, so the unpipelined
+streaming path was relay-latency-bound (0.37-0.6x realtime in degraded
+sessions).  With ``pipeline_depth`` K > 0, ``recompute`` DISPATCHES the
+slice (one packed h2d transfer; the model/seed warm-start carry never
+leaves the device, so the sequential chain of the reference is unbroken)
+and defers the result fetch: up to K slices are in flight, and a call
+returns the (K-dispatches-old) finalized record, or ``None`` while the
+pipe fills.  Host-visible outputs are bit-identical to depth 0 — the only
+cross-slice state a later slice READS is the buffer noise flags, whose
+single source is the window_small gate (optimizer_rolling.h:52-54), which
+is purely geometric (bbox + min_window_fraction) and therefore applied
+host-side AT DISPATCH; u/v/pr writebacks only feed views and are guarded
+against slots the ring has since recycled.  ``flush()`` drains the pipe
+(the reference's final recompute, bf_motion_compensator.cpp:208).
 """
 
 from __future__ import annotations
@@ -28,6 +44,7 @@ from better_flow_tpu.models.global_flow import process_slice
 from better_flow_tpu.runtime.slice_buffer import EventRingBuffer
 
 import jax.numpy as jnp
+from jax import lax
 
 
 class SliceRecord:
@@ -37,15 +54,24 @@ class SliceRecord:
 
     __slots__ = ("x", "y", "timestamp", "t_local", "u", "v", "noise",
                  "pr_x", "pr_y", "model", "iters", "wall_s", "n_events",
-                 "slice_start_time")
+                 "slice_start_time", "interval_s")
 
     def __init__(self, **kw):
+        self.interval_s = None
         for k, v in kw.items():
             setattr(self, k, v)
 
 
 class DVSFlow:
-    def __init__(self, cfg: PipelineConfig):
+    def __init__(self, cfg: PipelineConfig, pipeline_depth: int = 0,
+                 compact_fetch: bool = False):
+        """``pipeline_depth``: number of slices allowed in flight beyond
+        the one being finalized (0 = the reference's fully synchronous
+        behavior).  ``compact_fetch``: fetch results as one (10, cap) u8
+        array — f16 u/v/pr + u8 noise, 10 B/event instead of 24 — for
+        relay links whose device->host bandwidth is the bottleneck;
+        u/v quantization is ~1e-3 relative (f16), pr ~0.12 px at a
+        240 px sensor (documented trade-off, off by default)."""
         self.cfg = cfg
         sl = cfg.slice
         self.buffer = EventRingBuffer(sl.max_events, sl.span_ns)
@@ -64,30 +90,61 @@ class DVSFlow:
         self.slices: List[SliceRecord] = []
         self.frame_count = 0
         self.on_slice: Optional[Callable[[SliceRecord], None]] = None
-        def _process(ev, model, seed, bbox, n_valid, opt, sensor,
-                     warm_start, presorted):
+        self.pipeline_depth = int(pipeline_depth)
+        self.compact_fetch = bool(compact_fetch)
+        self._pending: List[dict] = []
+        self._last_final_t: Optional[float] = None
+
+        def _process(inp, model, seed, opt, sensor, warm_start, presorted,
+                     compact):
+            # One packed (5, cap) f32 input so the host pays a SINGLE
+            # host->device transfer per slice (x, y, t_local, noise, and a
+            # scalar row [bbox x4, n]); five separate array transfers each
+            # paid relay latency.
+            cap = inp.shape[1]
+            n = inp[4, 4].astype(jnp.int32)
+            ev = EventSlice(
+                x=inp[0], y=inp[1], t=inp[2],
+                valid=jnp.arange(cap, dtype=jnp.int32) < n,
+                noise=inp[3] > 0.5,
+            )
+            bbox = inp[4, 0:4].astype(jnp.int32)
             res = process_slice(ev, model, opt, sensor,
                                 warm_start=warm_start, presorted=presorted,
-                                seed=seed, bbox=bbox, n_valid=n_valid)
-            # One packed (6, cap) f32 output so the host pays a SINGLE
-            # device->host fetch per slice: the axon relay costs ~26 ms
-            # round trip per transfer, and five separate np.asarray fetches
-            # were 70% of streaming wall time (0.375x realtime).  Row 5
-            # carries the scalars (iters, window_small).
-            cap = res.u.shape[0]
-            scal_row = jnp.zeros((cap,), jnp.float32)
-            scal_row = scal_row.at[0].set(res.iters.astype(jnp.float32))
-            scal_row = scal_row.at[1].set(
-                res.window_small.astype(jnp.float32))
-            packed = jnp.stack([
-                res.u, res.v, res.pr_x, res.pr_y,
-                res.noise.astype(jnp.float32), scal_row,
-            ])
+                                seed=seed, bbox=bbox, n_valid=n)
+            if compact:
+                # (10, cap) u8: rows 0-7 = f16 bytes of [u, v, pr_x,
+                # pr_y], row 8 = noise, row 9 = scalars (iters,
+                # window_small) — one-third the d2h bytes of the f32 pack.
+                f16 = jnp.stack(
+                    [res.u, res.v, res.pr_x, res.pr_y]).astype(jnp.float16)
+                b8 = jnp.moveaxis(
+                    lax.bitcast_convert_type(f16, jnp.uint8), 2, 1
+                ).reshape(8, cap)
+                noise_row = res.noise.astype(jnp.uint8)[None, :]
+                scal = jnp.zeros((cap,), jnp.uint8)
+                scal = scal.at[0].set(res.iters.astype(jnp.uint8))
+                scal = scal.at[1].set(res.window_small.astype(jnp.uint8))
+                packed = jnp.concatenate([b8, noise_row, scal[None, :]])
+            else:
+                # One packed (6, cap) f32 output: a SINGLE device->host
+                # fetch per slice (five separate np.asarray fetches were
+                # 70% of streaming wall time).  Row 5 carries the scalars.
+                scal_row = jnp.zeros((cap,), jnp.float32)
+                scal_row = scal_row.at[0].set(
+                    res.iters.astype(jnp.float32))
+                scal_row = scal_row.at[1].set(
+                    res.window_small.astype(jnp.float32))
+                packed = jnp.stack([
+                    res.u, res.v, res.pr_x, res.pr_y,
+                    res.noise.astype(jnp.float32), scal_row,
+                ])
             return res.model, res.seed, packed
 
         self._jit = jax.jit(
             _process,
-            static_argnames=("opt", "sensor", "warm_start", "presorted"),
+            static_argnames=("opt", "sensor", "warm_start", "presorted",
+                             "compact"),
         )
 
     # ------------------------------------------------------------------ feed
@@ -140,8 +197,13 @@ class DVSFlow:
         return fired
 
     # ------------------------------------------------------------- recompute
-    def recompute(self) -> SliceRecord:
-        """DVS_flow::recompute (dvs_flow.h:184-347) minus the OpenCV HUD."""
+    def recompute(self) -> Optional[SliceRecord]:
+        """DVS_flow::recompute (dvs_flow.h:184-347) minus the OpenCV HUD.
+
+        With pipeline_depth 0 (default): fully synchronous — returns this
+        slice's record.  With depth K > 0: dispatches this slice, returns
+        the oldest in-flight slice's record once more than K are pending
+        (``None`` while the pipe fills); ``flush()`` drains the rest."""
         t_begin = time.perf_counter()
         snap = self.buffer.snapshot()
         n = len(snap["x"])
@@ -165,34 +227,43 @@ class DVSFlow:
 
         cap = self.buffer.capacity
         pad = cap - n
-        ev = EventSlice(
-            x=jnp.asarray(np.concatenate([snap["x"][order], np.zeros(pad, np.float32)])),
-            y=jnp.asarray(np.concatenate([snap["y"][order], np.zeros(pad, np.float32)])),
-            t=jnp.asarray(np.concatenate([t_local[order], np.zeros(pad, np.float32)])),
-            valid=jnp.asarray(
-                np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-            ),
-            noise=jnp.asarray(
-                np.concatenate([snap["noise"][order], np.zeros(pad, bool)])
-            ),
-        )
-
         if n > 0:
-            bbox = jnp.asarray([int(snap["x"].min()), int(snap["x"].max()),
-                                int(snap["y"].min()), int(snap["y"].max())],
-                               jnp.int32)
+            bbox = (int(snap["x"].min()), int(snap["x"].max()),
+                    int(snap["y"].min()), int(snap["y"].max()))
         else:
-            bbox = jnp.zeros(4, jnp.int32)
+            bbox = (0, 0, 0, 0)
+        # window_small is purely geometric — the same formula the device
+        # applies (global_flow.geometry_from_bbox) — so the host can mark
+        # the buffer's noise flags AT DISPATCH: the only cross-slice state
+        # a later slice READS is these flags, which keeps pipelined runs
+        # bit-identical to synchronous ones.
+        opt = self.cfg.optimizer
+        scale = opt.scale
+        frac = opt.min_window_fraction
+        wx = scale * (bbox[1] - bbox[0])
+        wy = scale * (bbox[3] - bbox[2])
+        window_small = ((wx + scale) < (scale * self.cfg.sensor.res_x) // frac
+                        and (wy + scale) <
+                        (scale * self.cfg.sensor.res_y) // frac)
+        if window_small and n > 0:
+            self.buffer.noise[snap["index"]] = True
+
+        inp = np.zeros((5, cap), np.float32)
+        inp[0, :n] = snap["x"][order]
+        inp[1, :n] = snap["y"][order]
+        inp[2, :n] = t_local[order]
+        inp[3, :n] = snap["noise"][order]
+        inp[4, 0:4] = bbox
+        inp[4, 4] = n
         model_out, seed_out, packed = self._jit(
-            ev,
+            jnp.asarray(inp),
             self.last_model,
             self.last_seed,
-            bbox,
-            jnp.int32(n),
             self.cfg.optimizer,
             self.cfg.sensor,
             warm_start=not self.cfg.stm_disable,
             presorted=True,
+            compact=self.compact_fetch,
         )
 
         # last_model = optimizer.get_model() (dvs_flow.h:224).  When stm is
@@ -201,44 +272,95 @@ class DVSFlow:
         # Both stay on device (no fetch); only ``packed`` crosses the relay.
         self.last_model = model_out
         self.last_seed = seed_out
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
 
-        packed_h = np.asarray(packed)        # the one per-slice fetch
-        # invert the spatial sort so writebacks land on the right events
-        u = packed_h[0, :n][inv]
-        v = packed_h[1, :n][inv]
-        pr_x = packed_h[2, :n][inv]
-        pr_y = packed_h[3, :n][inv]
-        noise = packed_h[4, :n][inv] > 0.5
-        n_iters = int(packed_h[5, 0])
-        self.buffer.writeback(snap["index"], noise=noise, u=u, v=v,
-                              pr_x=pr_x, pr_y=pr_y)
+        self._pending.append(dict(
+            snap=snap, inv=inv, n=n, slice_start=slice_start,
+            t_local=t_local, t_dispatch=t_begin, packed=packed,
+            model=model_out,
+        ))
 
-        wall = time.perf_counter() - t_begin
+        # Reset triggers (dvs_flow.h:337-338).
+        self.event_diff = 0
+        self.last_slice_time = self.current_slice_time
+
+        if len(self._pending) > self.pipeline_depth:
+            return self._finalize(self._pending.pop(0))
+        return None
+
+    def _finalize(self, ent: dict) -> SliceRecord:
+        """Fetch + decode one dispatched slice; write results back into
+        still-live ring slots; emit the record."""
+        snap, inv, n = ent["snap"], ent["inv"], ent["n"]
+        packed_h = np.asarray(ent["packed"])     # the one per-slice fetch
+        if self.compact_fetch:
+            b = np.ascontiguousarray(
+                np.moveaxis(packed_h[:8].reshape(4, 2, -1), 1, 2))
+            f16 = b.view(np.float16)[..., 0]
+            u = f16[0, :n].astype(np.float32)[inv]
+            v = f16[1, :n].astype(np.float32)[inv]
+            pr_x = f16[2, :n].astype(np.float32)[inv]
+            pr_y = f16[3, :n].astype(np.float32)[inv]
+            noise = packed_h[8, :n][inv] > 0
+            n_iters = int(packed_h[9, 0])
+        else:
+            u = packed_h[0, :n][inv]
+            v = packed_h[1, :n][inv]
+            pr_x = packed_h[2, :n][inv]
+            pr_y = packed_h[3, :n][inv]
+            noise = packed_h[4, :n][inv] > 0.5
+            n_iters = int(packed_h[5, 0])
+        # u/v/pr writebacks feed only views/accumulation; under pipelining
+        # the ring may have recycled some slots — guard on timestamp
+        # identity so a deferred writeback cannot stomp newer events.
+        # (Noise was already applied at dispatch; see recompute.)
+        idx = snap["index"]
+        still = self.buffer.timestamp[idx] == snap["timestamp"]
+        if still.all():
+            self.buffer.writeback(idx, noise=noise, u=u, v=v,
+                                  pr_x=pr_x, pr_y=pr_y)
+        elif still.any():
+            self.buffer.writeback(idx[still], noise=noise[still],
+                                  u=u[still], v=v[still],
+                                  pr_x=pr_x[still], pr_y=pr_y[still])
+
+        t_done = time.perf_counter()
+        wall = t_done - ent["t_dispatch"]
         rec = SliceRecord(
             x=snap["x"].copy(),
             y=snap["y"].copy(),
             timestamp=snap["timestamp"].copy(),
-            t_local=t_local,
+            t_local=ent["t_local"],
             u=u,
             v=v,
             noise=noise,
             pr_x=pr_x,
             pr_y=pr_y,
-            model=self.last_model,
+            model=ent["model"],
             iters=n_iters,
             wall_s=wall,
             n_events=n,
-            slice_start_time=slice_start,
+            slice_start_time=ent["slice_start"],
         )
+        rec.interval_s = (t_done - self._last_final_t
+                          if self._last_final_t is not None else wall)
+        self._last_final_t = t_done
         if self.cfg.accumulate:
             self.slices.append(rec)
         if self.on_slice is not None:
             self.on_slice(rec)
-
-        # Reset triggers (dvs_flow.h:337-338).
-        self.event_diff = 0
-        self.last_slice_time = self.current_slice_time
         return rec
+
+    def flush(self) -> List[SliceRecord]:
+        """Drain the pipeline: finalize every in-flight slice (the
+        reference's final recompute flush)."""
+        out = []
+        while self._pending:
+            out.append(self._finalize(self._pending.pop(0)))
+        return out
 
     # ---------------------------------------------------------- introspection
     def get_buf_size(self) -> int:
@@ -256,7 +378,9 @@ class DVSFlow:
         return self.current_slice_time - start
 
     def realtime_factor(self) -> float:
-        """%realtime — slice time-span / wall time (dvs_flow.h:275-282)."""
+        """%realtime — slice time-span / wall time (dvs_flow.h:275-282).
+        Under pipelining wall_s is the slice's true dispatch-to-results
+        latency; use interval_s for the sustained (throughput) factor."""
         if not self.slices:
             return 0.0
         r = self.slices[-1]
@@ -266,4 +390,5 @@ class DVSFlow:
     def get_accumulated(self):
         from better_flow_tpu.runtime.accumulate import merge_slices
 
+        self.flush()
         return merge_slices(self.slices)

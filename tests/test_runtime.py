@@ -175,3 +175,82 @@ class TestAccumulate:
         merged = merge_slices([s1, s2])
         assert len(merged["x"]) == 1
         assert merged["u"][0] == 1.0
+
+
+class TestPipelinedStreaming:
+    """Round-5: DVSFlow dispatch pipelining (pipeline_depth K) and the
+    compact u8 fetch.  Pipelined runs must be BIT-IDENTICAL to the
+    synchronous path — the model/seed carry never leaves the device, and
+    the only cross-slice host state a later slice reads (buffer noise
+    flags, sourced solely from the window_small gate) is applied at
+    dispatch time."""
+
+    def _run(self, depth, compact=False, accumulate=True):
+        cfg = small_cfg().replace(accumulate=accumulate)
+        d = synthetic_events(24000, duration_s=0.4, res_x=24, res_y=32,
+                             n_points=80, seed=5, vx=4.0, vy=-3.0,
+                             rot=0.5, div=0.15)
+        flow = DVSFlow(cfg, pipeline_depth=depth, compact_fetch=compact)
+        flow.add_events(d["x"], d["y"], d["t_ns"])
+        if len(flow.buffer):
+            flow.recompute()
+        flow.flush()
+        return flow
+
+    def test_pipelined_bit_identical(self):
+        sync = self._run(0)
+        for depth in (1, 3):
+            pipe = self._run(depth)
+            assert len(pipe.slices) == len(sync.slices)
+            for a, b in zip(sync.slices, pipe.slices):
+                np.testing.assert_array_equal(a.u, b.u)
+                np.testing.assert_array_equal(a.v, b.v)
+                np.testing.assert_array_equal(a.noise, b.noise)
+                assert a.iters == b.iters
+
+    def test_pipelined_fills_then_drains(self):
+        cfg = small_cfg()
+        d = synthetic_events(24000, duration_s=0.4, res_x=24, res_y=32,
+                             n_points=80, seed=5)
+        flow = DVSFlow(cfg, pipeline_depth=2)
+        fired = flow.add_events(d["x"], d["y"], d["t_ns"])
+        assert fired > 3
+        assert len(flow._pending) == 2       # pipe holds depth slices
+        drained = flow.flush()
+        assert len(drained) == 2 and not flow._pending
+
+    def test_pipelined_noise_gate_identical(self):
+        """A degenerate (single-pixel) stream fires the window gate on
+        every slice; pipelined noise flags must match synchronous ones
+        exactly (the gate is applied at dispatch)."""
+        rng = np.random.default_rng(0)
+        t = np.sort(rng.integers(0, int(3e8), 5000)).astype(np.int64)
+        x = np.full(5000, 3.0, np.float32)
+        y = np.full(5000, 4.0, np.float32)
+        outs = []
+        for depth in (0, 2):
+            cfg = small_cfg()
+            flow = DVSFlow(cfg, pipeline_depth=depth)
+            flow.add_events(x, y, t)
+            if len(flow.buffer):
+                flow.recompute()
+            flow.flush()
+            outs.append(flow.slices)
+        assert len(outs[0]) == len(outs[1])
+        for a, b in zip(*outs):
+            np.testing.assert_array_equal(a.noise, b.noise)
+            assert a.noise.all()
+
+    def test_compact_fetch_quality(self):
+        """The u8/f16 fetch may only quantize: flow within f16 epsilon of
+        the f32 fetch, identical noise flags and iteration counts."""
+        full = self._run(1, compact=False)
+        comp = self._run(1, compact=True)
+        assert len(full.slices) == len(comp.slices)
+        for a, b in zip(full.slices, comp.slices):
+            np.testing.assert_array_equal(a.noise, b.noise)
+            assert a.iters == b.iters
+            scale = np.maximum(np.abs(a.u), 1.0)
+            assert np.max(np.abs(a.u - b.u) / scale) < 2e-3
+            assert np.max(np.abs(a.v - b.v) / np.maximum(np.abs(a.v), 1.0)) < 2e-3
+            assert np.max(np.abs(a.pr_x - b.pr_x)) < 0.2
