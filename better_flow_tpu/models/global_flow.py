@@ -526,7 +526,7 @@ class FusedFlowState(NamedTuple):
 
 
 def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
-               stat3=None, axis_name=None, seed=None):
+               stat3=None, axis_name=None, seed=None, act3=None):
     """Production TPU path: one pallas_call per iteration (in-kernel 4-param
     re-warp + windowed MXU splat + finish), scalar model math between calls.
 
@@ -571,7 +571,10 @@ def _run_fused(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
     # per-slice activity row to pack here.
     stat = stat3 if stat3 is not None else prepare_chunk_layouts(
         ev.x, ev.y, ev.t)
-    act = pack_act(ev.active)
+    # act3 (optional): activity rows prebuilt by the caller in ONE pallas
+    # pass (act_rows_call) — the slice scan uses it to keep the per-slice
+    # XLA elementwise chain (valid + noise-history + pack) off the step.
+    act = act3 if act3 is not None else pack_act(ev.active)
 
     # Megastep: single-device slices with a built-in schedule and an f32
     # carry run the WHOLE iteration (splat + finish + scalar model update +
@@ -891,6 +894,7 @@ def process_slice(
     bbox=None,
     n_valid=None,
     want_uvn: bool = False,
+    act3=None,
 ) -> SliceResult:
     """Process one slice end to end — jit over static (capacity, scale, res).
 
@@ -963,16 +967,35 @@ def process_slice(
                 -model.total_dx, -model.total_dy, model.cx, model.cy,
                 model.total_div, -model.total_rot,
             )
+            if act3 is not None:
+                # Keep ev.noise/valid out of this branch so the caller's
+                # prebuilt act rows fully replace the XLA activity chain
+                # (cond operands are computed unconditionally).
+                from better_flow_tpu.config import NZ, UV_FACTOR
+                from better_flow_tpu.ops.pallas.fused_model import CHUNK
+
+                cap = nx.shape[0]
+                nch = -(-cap // CHUNK)
+                k = jnp.float32(UV_FACTOR / NZ)
+                pad = lambda a: jnp.pad(
+                    a, (0, nch * CHUNK - cap)).reshape(nch, CHUNK)
+                noisef = jnp.maximum(
+                    1.0 - act3[:, 0, :],
+                    geom.window_small.astype(jnp.float32))
+                uvn0 = jnp.stack([pad(nx * k), pad(ny * k), noisef],
+                                 axis=1)
+            else:
+                uvn0 = _uvn_pack_from(nx, ny, ev,
+                                      window_small=geom.window_small)
             return (model, pr_x, pr_y, nx, ny, jnp.int32(0),
-                    jnp.zeros(8, jnp.float32),
-                    _uvn_pack_from(nx, ny, ev,
-                                   window_small=geom.window_small))
+                    jnp.zeros(8, jnp.float32), uvn0)
 
         final_model, pr_x, pr_y, nx, ny, iters, seed_out, uvn = lax.cond(
             ran,
             lambda _: _run_fused(ev, geom, model, cfg, scale, H, W,
                                  stat3=stat3 if presorted else None,
-                                 axis_name=axis_name, seed=seed),
+                                 axis_name=axis_name, seed=seed,
+                                 act3=act3),
             _skip,
             0,
         )

@@ -577,6 +577,51 @@ def pack_act(active):
     )
 
 
+def _kernel_act(hist_ref, sidx_ref, act_ref, *, K: int):
+    """Per-chunk activity row from original indices + window-gate history:
+    act = (sidx >= 0) & ~noise, where an event is noise iff any of the
+    last K slices fired the window gate (ws) and its ORIGINAL index falls
+    in that slice's [start, end] range (scan_pipeline._run_scan's noise
+    reconstruction, optimizer_rolling.h:52-54)."""
+    s = sidx_ref[0]                           # (1, CHUNK) i32
+    ok = s >= 0
+    for j in range(K):
+        noise_j = (
+            (hist_ref[0, j] > 0) & (s >= hist_ref[1, j])
+            & (s <= hist_ref[2, j])
+        )
+        ok = ok & ~noise_j
+    act_ref[0] = ok.astype(jnp.float32)
+
+
+def act_rows_call(sidx, ws_h, st_h, en_h):
+    """Activity rows (nch, 1, CHUNK) f32 for the fused kernels, built in
+    ONE device pass.  Replaces the per-slice XLA chain (valid compare +
+    hist_k range compares + bool->f32 pack, ~10 us of elementwise passes
+    over the 61k slab per slice at bench shapes).  ``sidx`` is the
+    (capp,) i32 original-index slab (capp a CHUNK multiple, -1 padding);
+    ``ws_h``/``st_h``/``en_h`` the (K,) window-gate history."""
+    capp = sidx.shape[0]
+    nch = capp // CHUNK
+    K = int(ws_h.shape[0])
+    hist = jnp.stack([ws_h.astype(jnp.int32), st_h.astype(jnp.int32),
+                      en_h.astype(jnp.int32)])
+    kern = functools.partial(_kernel_act, K=K)
+    return pl.pallas_call(
+        kern,
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec((3, K), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nch, 1, CHUNK), jnp.float32),
+        interpret=_interp(),
+    )(hist, sidx.reshape(nch, 1, CHUNK))
+
+
 def fused_warp_splat(
     stat, act, pr, scale: int,
     x_sh, y_sh, w_dyn, h_dyn, dnx_, dny_, cx, cy, divp, crl,

@@ -153,3 +153,77 @@ def test_checkpoint_truncated_results_rejected(recording, tmp_path):
         compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
                                   n_batch=2, checkpoint_path=ckpt,
                                   resume=True)
+
+
+def test_compact_results_wire_format(recording):
+    """Round-5 wire format: compact_results fetches f16 u/v + bit-packed
+    noise (4.125 B/event).  Noise must be exact; u/v within f16
+    quantization of the exact path."""
+    d = recording
+    cfg = _cfg()
+    exact = compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                      n_batch=3)
+    comp = compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                     n_batch=3, compact_results=True)
+    np.testing.assert_array_equal(exact["noise"], comp["noise"])
+    np.testing.assert_array_equal(exact["iters"], comp["iters"])
+    scale = np.maximum(np.abs(exact["u"]), 1.0)
+    assert np.max(np.abs(exact["u"] - comp["u"]) / scale) < 1e-3
+    scale_v = np.maximum(np.abs(exact["v"]), 1.0)
+    assert np.max(np.abs(exact["v"] - comp["v"]) / scale_v) < 1e-3
+
+
+def test_pack_unpack_roundtrip():
+    """Unit: _pack_results/_unpack_results round-trip — u/v exactly the
+    f16 cast, noise bit-exact, odd (non-multiple-of-8) lengths."""
+    import jax.numpy as jnp
+
+    from better_flow_tpu.runtime.scan_pipeline import (
+        _pack_results, _unpack_results)
+
+    rng = np.random.default_rng(1)
+    for m in (8, 13, 1000):
+        u = rng.normal(0, 80, m).astype(np.float32)
+        v = rng.normal(0, 80, m).astype(np.float32)
+        nz = rng.random(m) < 0.3
+        buf = _pack_results(jnp.asarray(u), jnp.asarray(v),
+                            jnp.asarray(nz))
+        u2, v2, n2 = _unpack_results(buf, m)
+        np.testing.assert_array_equal(u.astype(np.float16).astype(
+            np.float32), u2)
+        np.testing.assert_array_equal(v.astype(np.float16).astype(
+            np.float32), v2)
+        np.testing.assert_array_equal(nz, n2)
+
+
+def test_compact_results_resume_bit_identical(recording, tmp_path,
+                                              monkeypatch):
+    """Kill-and-resume under compact_results: the resumed run must match
+    the uninterrupted compact run exactly (stored results are the decoded
+    values, so the f16 rounding is applied once, consistently)."""
+    d = recording
+    cfg = _cfg()
+    ckpt = str(tmp_path / "compact.ckpt.npz")
+    clean = compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                      n_batch=4, compact_results=True)
+    calls = {"n": 0}
+    orig = scan_pipeline.prepare_recording
+
+    def dying_prepare(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated mid-run kill")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(scan_pipeline, "prepare_recording", dying_prepare)
+    with pytest.raises(RuntimeError, match="simulated"):
+        compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                  n_batch=4, checkpoint_path=ckpt,
+                                  compact_results=True)
+    monkeypatch.setattr(scan_pipeline, "prepare_recording", orig)
+    resumed = compensate_recording_cold(d["x"], d["y"], d["t_ns"], cfg,
+                                        n_batch=4, checkpoint_path=ckpt,
+                                        resume=True, compact_results=True)
+    np.testing.assert_array_equal(clean["u"], resumed["u"])
+    np.testing.assert_array_equal(clean["v"], resumed["v"])
+    np.testing.assert_array_equal(clean["noise"], resumed["noise"])
