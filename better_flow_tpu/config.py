@@ -151,15 +151,17 @@ class OptimizerConfig:
     # ~1.2x at iteration k, then iteration k+1 steps at ~0.02x tol — one
     # full splat+finish (~72 us) proving a prediction the secant state
     # already contains.  With this cap > 0, a component whose delta missed
-    # the tolerance may exit anyway when (a) its in-slice secant quotient
-    # is FRESH this iteration (valid2 — stale cross-slice memory is never
-    # trusted for prediction), (b) the local linear model's predicted next
-    # delta  d' = -0.9*(g + slope*d)/slope  is below tolerance, and (c)
-    # the actual delta is within exit_predict_cap * tol (prediction is
-    # only trusted near convergence).  The gradient-qualified exit
-    # (exit_grad_factor) still applies on top — the round-3 plateau
-    # failure mode (steep quotient, large g) remains blocked by it.
-    # Ignored by the reference schedule.
+    # the tolerance may exit anyway when the OBSERVED contraction predicts
+    # the next delta under half tolerance: |d| < |prev_d| (monotone
+    # contraction), |d|^2/|prev_d| < 0.5*tol, and |d| < cap*tol
+    # (prediction only trusted near convergence).  The secant's own linear
+    # model was measured information-free for this purpose (an unclamped
+    # Newton step predicts a fixed ~10x contraction regardless of the
+    # objective); the observed ratio carries the objective's real terminal
+    # behavior.  The gradient-qualified exit (exit_grad_factor) still
+    # applies on top — the round-3 plateau failure mode (steep quotient,
+    # large g) remains blocked by it.  Ignored by the reference schedule.
+    # Seed-swept quality table: BASELINE.md round 5.
     exit_predict_cap: float = 0.0
     # Run the single-device fused-Pallas path through the megastep kernel
     # (whole iteration incl. scalar model update in ONE pallas_call) when
