@@ -131,37 +131,38 @@ class OptimizerConfig:
     # round-2 gate gap).  Ignored by the reference schedule (whose exit IS
     # this test at factor 1).
     exit_grad_factor: float = 0.0
-    # Relaxation of the fast schedule's per-component DELTA exit test
-    # (exit when |delta| < exit_delta_factor * tol): the round-4 iteration
-    # trace showed the mode-4-iteration bucket failing the delta test at
-    # iteration 3 by ~20% (|d| ~ 1.2x tol) while already passing the
-    # gradient gate, then confirming with a ~0.02x-tol step.  1.5 saves
-    # ~0.4 iterations/slice on the bench stream (+8% throughput) — but
-    # the AEE-vs-reference-schedule ratio on the production quality scene
-    # fluctuates chaotically with this factor (measured 1.004 at 1.2,
-    # 1.045 at 1.3, 1.025 at 1.4/1.5 vs the 1.02 production gate), so the
-    # preset keeps 1.0 (the exact round-3 behavior): the saved iteration
-    # is not worth riding the gate edge.  Exposed for throughput-first
-    # deployments that can accept ~1.05x AEE; ignored by the reference
-    # schedule.
-    exit_delta_factor: float = 1.0
-    # Predicted-delta exit for the fast schedule (0 = off; round-5).  The
-    # round-4 iteration trace showed 66% of slices spending their LAST
-    # iteration purely confirming convergence: deltas miss tolerance by
-    # ~1.2x at iteration k, then iteration k+1 steps at ~0.02x tol — one
-    # full splat+finish (~72 us) proving a prediction the secant state
-    # already contains.  With this cap > 0, a component whose delta missed
-    # the tolerance may exit anyway when the OBSERVED contraction predicts
-    # the next delta under half tolerance: |d| < |prev_d| (monotone
-    # contraction), |d|^2/|prev_d| < 0.5*tol, and |d| < cap*tol
-    # (prediction only trusted near convergence).  The secant's own linear
-    # model was measured information-free for this purpose (an unclamped
-    # Newton step predicts a fixed ~10x contraction regardless of the
-    # objective); the observed ratio carries the objective's real terminal
-    # behavior.  The gradient-qualified exit (exit_grad_factor) still
-    # applies on top — the round-3 plateau failure mode (steep quotient,
-    # large g) remains blocked by it.  Ignored by the reference schedule.
-    # Seed-swept quality table: BASELINE.md round 5.
+    # (round-5) The former ``exit_delta_factor`` knob (relax the delta
+    # exit test to factor*tol) was REMOVED after the seed sweep
+    # (tools/sweep_exit.py, BASELINE.md round 5): factors 1.1-1.5 save
+    # under 3% of iterations while degrading the noisy-stream seed-mean
+    # (the round-4 single-scene "chaos" was warm-start chain noise, band
+    # ~±0.25 per seed, stable seed-means); factors >= 2 save ~10% but
+    # systematically under-converge rot/div-dominated scenes (gate seed
+    # 777: 1.25x AEE vs the 1.05 gate).  Every useful operating point it
+    # could express is dominated by exit_predict_cap below, which
+    # validates its exit prediction against the secant model instead of
+    # blindly widening the tolerance band.
+    # Model-validated one-step-ahead exit for the fast schedule (0 = off;
+    # round-5).  The traced bench chain (tools/trace_fastloop.py) shows
+    # 66% of slices spending their LAST full splat+finish (~72 us) on an
+    # iteration whose outcome the secant's linear model already predicts.
+    # With this cap > 0, a component may exit — bypassing the delta and
+    # gradient tests — when (a) the linear model predicted THIS
+    # iteration's gradient well (one-step prediction error < 0.75 of the
+    # previous gradient — measured <= 0.67 on every safe exit, 0.5-4.6
+    # where prediction would be premature), (b) the predicted next step
+    # AND next reference step are both sub-tolerance, and (c) the current
+    # delta is within cap*tol.  MEASURED DECISION (round-5, BASELINE.md
+    # seed sweep + trace analysis): on the bench/production regime this
+    # cuts mean_iters 4.04 -> 3.24 (-20%) at ~1.03x AEE — but on rot/div-
+    # dominated scenes the terminal iterates OSCILLATE with 0.6-1.9*tol
+    # of net future travel that NO one-step predictor can see (sampled
+    # gradients pass near zero mid-swing: the rotdiv-777 trace fires with
+    # predicted-gradient 0.04*tol yet 1.5*tol of travel remaining), so
+    # the rotdiv gate degrades 1.02 -> 1.31x AEE.  The presets therefore
+    # keep it OFF; it is sound for deployments on translation-dominated
+    # streams that can bound rot/div externally.  Ignored by the
+    # reference schedule.
     exit_predict_cap: float = 0.0
     # Run the single-device fused-Pallas path through the megastep kernel
     # (whole iteration incl. scalar model update in ONE pallas_call) when

@@ -345,6 +345,10 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
 
     def body(carry):
         s, prev_g, prev_d, slope_mem, _es = carry
+        # The slope actually used for the PREVIOUS iteration's step (the
+        # predicted-exit's relerr denominator model); ``slope_mem`` is
+        # rebound to this iteration's slope after the step below.
+        slope_used_prev = slope_mem
 
         def two_point(g):
             # In-slice two-point slope when a real previous step exists on
@@ -417,35 +421,54 @@ def _fast_loop(init, step_fn, cfg: OptimizerConfig, seed=None):
         # parity schedule's own convergence test, post-doubling dividers.
         # (Exempting fresh-quotient components was tried and rejected: the
         # harmful exits ride fresh quotients too, and it saved nothing.)
-        exit_c = jnp.abs(d) < cfg.exit_delta_factor * tol
-        if cfg.exit_predict_cap > 0:
-            # Predicted-delta exit (round-5): a component whose delta
-            # missed tolerance may exit anyway when the OBSERVED
-            # contraction predicts the next delta under half tolerance —
-            # the mode-4 "confirmation iteration" (deltas ~1.2x tol at
-            # k, ~0.02x tol at k+1) spends a full ~72 us splat proving
-            # this.  Predictor: next |delta| ~ |d| * (|d|/|prev_d|),
-            # valid only while contracting monotonically (|d| < |prev_d|)
-            # and near convergence (|d| < cap*tol).  The secant's own
-            # linear model (-0.9*g'/slope) was measured information-free
-            # here: with an unclamped Newton step it predicts a fixed
-            # 10x contraction regardless of the objective, degenerating
-            # the test to |d| < 10*tol (the documented exit_delta_factor
-            # chaos).  The observed ratio carries the objective's real
-            # terminal behavior; 0.5 is a safety margin on the
-            # prediction; the gradient-qualified exit below still
-            # applies.  Seed-swept quality table in BASELINE.md round 5.
-            ad = jnp.abs(d)
-            apd = jnp.abs(prev_d)
-            exit_c = exit_c | (
-                (apd > 0) & (ad < apd)
-                & (ad * ad / apd < 0.5 * tol)
-                & (ad < cfg.exit_predict_cap * tol)
-            )
+        exit_c = jnp.abs(d) < tol
         if cfg.exit_grad_factor > 0:
             gref = jnp.abs(g) / jnp.stack(
                 [s.rot_div, s.div_div, s.x_div, s.y_div])
             exit_c = exit_c & (gref < cfg.exit_grad_factor * tol)
+        if cfg.exit_predict_cap > 0:
+            # Model-validated one-step-ahead exit (round-5): kill the
+            # mode-4 "confirmation iteration".  The traced bench chain
+            # (tools/trace_fastloop.py) shows 66% of slices spending a
+            # last full splat (~72 us) on an iteration whose outcome the
+            # secant's linear model already predicts: at the penultimate
+            # iteration, predicted next delta <= 0.25*tol and predicted
+            # next |g|/divider <= 0.52*tol for EVERY such slice.  Two
+            # rejected designs framed this one: the raw linear
+            # prediction alone is untrustworthy early (at iteration 2 it
+            # predicts sub-tolerance deltas while the real next step is
+            # 1-2.5x tol), and an observed-contraction predictor
+            # (|d|^2/|prev_d|) never fires at all because the terminal
+            # deltas OSCILLATE (sign-flipping overshoots) rather than
+            # contract monotonically.  The discriminator that separates
+            # the two regimes is the model's own one-step prediction
+            # error, measured for free: relerr = |g - (prev_g +
+            # slope_prev*prev_d)| / |prev_g|.  On safe exits it measures
+            # <= 0.67; where prediction would be premature (iteration 2,
+            # rot/div plateau crawls whose slope estimates are wrong —
+            # the round-3 quality failure mode) it measures 0.5-4.6.  A
+            # component may therefore exit, bypassing the current-delta
+            # and current-gradient tests, when: the model predicted THIS
+            # gradient well (relerr < 0.75), the predicted next step and
+            # next reference step are both sub-tolerance, and the
+            # current delta is within cap*tol (prediction only trusted
+            # near convergence).  Seed-swept table: BASELINE.md round 5.
+            g_pred = prev_g + slope_used_prev * prev_d
+            relerr = jnp.abs(g - g_pred) / jnp.maximum(
+                jnp.abs(prev_g), 1e-30)
+            pred_next_g = g + slope_mem * d
+            pred_next_d = jnp.abs(0.9 * pred_next_g /
+                                  jnp.where(slope_mem < 0, slope_mem,
+                                            -1e-30))
+            divs = jnp.stack([s.rot_div, s.div_div, s.x_div, s.y_div])
+            pred_next_gref = jnp.abs(pred_next_g) / divs
+            pred_ok = (
+                (jnp.abs(prev_d) > 0) & (relerr < 0.75)
+                & (slope_mem < 0)
+                & (pred_next_d < tol) & (pred_next_gref < tol)
+                & (jnp.abs(d) < cfg.exit_predict_cap * tol)
+            )
+            exit_c = exit_c | pred_ok
         exit_small = jnp.all(exit_c)
         return (s, g, d, slope_mem, exit_small)
 
@@ -726,8 +749,7 @@ def _run_fused_mega(ev, geom, model0, cfg: OptimizerConfig, scale, H, W,
         dx_tol=cfg.dx_tol, dy_tol=cfg.dy_tol,
         xy_cap=cfg.xy_divider_cap, rotdiv_cap=cfg.rotdiv_divider_cap,
         max_iter=cfg.max_iter, hard_cap=cfg.iter_hard_cap,
-        exit_grad=cfg.exit_grad_factor, exit_delta=cfg.exit_delta_factor,
-        exit_pred=cfg.exit_predict_cap,
+        exit_grad=cfg.exit_grad_factor, exit_pred=cfg.exit_predict_cap,
     )
 
     time_lo = cfg.splat_time_lo or cfg.schedule != "fast"

@@ -975,7 +975,7 @@ def _kernel_megastep(
     schedule: str, rot_tol: float, div_tol: float, dx_tol: float,
     dy_tol: float, xy_cap: float, rotdiv_cap: float, max_iter: int,
     hard_cap: int, time_lo: bool = True, exit_grad: float = 0.0,
-    exit_delta: float = 1.0, exit_pred: float = 0.0,
+    exit_pred: float = 0.0,
 ):
     pid = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -1041,8 +1041,7 @@ def _kernel_megastep(
             schedule=schedule, rot_tol=rot_tol, div_tol=div_tol,
             dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
             rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
-            y_sh=y_sh, exit_grad=exit_grad, exit_delta=exit_delta,
-            exit_pred=exit_pred,
+            y_sh=y_sh, exit_grad=exit_grad, exit_pred=exit_pred,
         )
 
 
@@ -1051,7 +1050,7 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
                         div_tol: float, dx_tol: float, dy_tol: float,
                         xy_cap: float, rotdiv_cap: float, max_iter: int,
                         hard_cap: int, y_sh, exit_grad: float = 0.0,
-                        exit_delta: float = 1.0, exit_pred: float = 0.0):
+                        exit_pred: float = 0.0):
     """The scalar model update + convergence predicate shared by the
     single-device megastep (run in its final grid step) and the sharded
     finish kernel (run on the psum'd images): model_from_partials, both
@@ -1171,47 +1170,62 @@ def _model_update_phase(st_ref, st_out_ref, vals, x_sh, fb_val, *,
                 & (jnp.abs(g_dx / x_div) < 4.0 * dx_tol)
                 & (jnp.abs(g_dy / y_div) < 4.0 * dy_tol)
             )
-            sm_rot = jnp.abs(d_rot) < exit_delta * rot_tol
-            sm_div = jnp.abs(d_div) < exit_delta * div_tol
-            sm_dx = jnp.abs(d_dx) < exit_delta * dx_tol
-            sm_dy = jnp.abs(d_dy) < exit_delta * dy_tol
-            if exit_pred > 0:
-                # Predicted-delta exit (mirrors _fast_loop exactly):
-                # observed-contraction predictor — next |delta| ~
-                # |d| * (|d|/|prev_d|), valid only while contracting
-                # monotonically and near convergence; prediction must
-                # land under HALF tolerance; the gradient-qualified
-                # exit below still applies.  (ST_PD still holds the
-                # PREVIOUS deltas here — the new ones are written
-                # after the exit test.)
-                def pred(d, pd, tol):
-                    ad = jnp.abs(d)
-                    apd = jnp.abs(pd)
-                    return (apd > 0) & (ad < apd) & (
-                        ad * ad / apd < 0.5 * tol) & (
-                        ad < exit_pred * tol)
-
-                sm_rot = sm_rot | pred(d_rot, st_ref[0, ST_PD + 0],
-                                       rot_tol)
-                sm_div = sm_div | pred(d_div, st_ref[0, ST_PD + 1],
-                                       div_tol)
-                sm_dx = sm_dx | pred(d_dx, st_ref[0, ST_PD + 2], dx_tol)
-                sm_dy = sm_dy | pred(d_dy, st_ref[0, ST_PD + 3], dy_tol)
-            small = (sm_rot & sm_div & sm_dx & sm_dy) & (
-                (new_iters >= 2) | ref_small)
+            sm_rot = jnp.abs(d_rot) < rot_tol
+            sm_div = jnp.abs(d_div) < div_tol
+            sm_dx = jnp.abs(d_dx) < dx_tol
+            sm_dy = jnp.abs(d_dy) < dy_tol
             if exit_grad > 0:
                 # Gradient-qualified exit (mirrors _fast_loop.cond): a
                 # trust-region-clamped secant step can be sub-tolerance
                 # while the gradient is still large; require the
                 # reference step |g|/divider (post-doubling dividers,
                 # same as the JAX copy) below exit_grad * tol too.
-                grad_ok = (
-                    (jnp.abs(g_rot / rot_div) < exit_grad * rot_tol)
-                    & (jnp.abs(g_div / div_div) < exit_grad * div_tol)
-                    & (jnp.abs(g_dx / x_div) < exit_grad * dx_tol)
-                    & (jnp.abs(g_dy / y_div) < exit_grad * dy_tol)
-                )
-                small = small & grad_ok
+                sm_rot = sm_rot & (
+                    jnp.abs(g_rot / rot_div) < exit_grad * rot_tol)
+                sm_div = sm_div & (
+                    jnp.abs(g_div / div_div) < exit_grad * div_tol)
+                sm_dx = sm_dx & (
+                    jnp.abs(g_dx / x_div) < exit_grad * dx_tol)
+                sm_dy = sm_dy & (
+                    jnp.abs(g_dy / y_div) < exit_grad * dy_tol)
+            if exit_pred > 0:
+                # Model-validated one-step-ahead exit (mirrors
+                # _fast_loop exactly — see the design rationale there):
+                # a component may exit, bypassing the delta+gradient
+                # tests, when the secant's linear model predicted THIS
+                # gradient well (relerr < 0.75) and predicts the next
+                # step and next reference step both sub-tolerance.
+                # (ST_SL / ST_PD / the gradient slots still hold the
+                # PREVIOUS iteration's values here — the new ones are
+                # written after the exit test.)
+                def pred(g, pg, pd, psl, sl, d, div, tol):
+                    g_pred = pg + psl * pd
+                    relerr = jnp.abs(g - g_pred) / jnp.maximum(
+                        jnp.abs(pg), 1e-30)
+                    png = g + sl * d
+                    pnd = jnp.abs(
+                        0.9 * png / jnp.where(sl < 0, sl, f32(-1e-30)))
+                    pngr = jnp.abs(png) / div
+                    return ((jnp.abs(pd) > 0) & (relerr < 0.75)
+                            & (sl < 0) & (pnd < tol) & (pngr < tol)
+                            & (jnp.abs(d) < exit_pred * tol))
+
+                sm_rot = sm_rot | pred(
+                    g_rot, _pg[0], st_ref[0, ST_PD + 0],
+                    st_ref[0, ST_SL + 0], sl_rot, d_rot, rot_div,
+                    rot_tol)
+                sm_div = sm_div | pred(
+                    g_div, _pg[1], st_ref[0, ST_PD + 1],
+                    st_ref[0, ST_SL + 1], sl_div, d_div, div_div,
+                    div_tol)
+                sm_dx = sm_dx | pred(
+                    g_dx, _pg[2], st_ref[0, ST_PD + 2],
+                    st_ref[0, ST_SL + 2], sl_dx, d_dx, x_div, dx_tol)
+                sm_dy = sm_dy | pred(
+                    g_dy, _pg[3], st_ref[0, ST_PD + 3],
+                    st_ref[0, ST_SL + 3], sl_dy, d_dy, y_div, dy_tol)
+            small = (sm_rot & sm_div & sm_dx & sm_dy) & (
+                (new_iters >= 2) | ref_small)
             cont = (~small) & (~over_max) & under_cap
         else:
             dividers_open = (
@@ -1273,7 +1287,7 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
                   dx_tol: float, dy_tol: float, xy_cap: float,
                   rotdiv_cap: float, max_iter: int, hard_cap: int,
                   time_lo: bool = True, exit_grad: float = 0.0,
-                  exit_delta: float = 1.0, exit_pred: float = 0.0):
+                  exit_pred: float = 0.0):
     """One full optimizer iteration as a single pallas_call.
 
     ``st`` is the (1, 32) SMEM state vector (ST_* layout above), ``geo`` the
@@ -1287,7 +1301,7 @@ def megastep_call(stat, act, pr, st, geo, *, scale: int, H: int, W: int,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
         max_iter=max_iter, hard_cap=hard_cap, time_lo=time_lo,
-        exit_grad=exit_grad, exit_delta=exit_delta, exit_pred=exit_pred,
+        exit_grad=exit_grad, exit_pred=exit_pred,
     )
     npr, st_out = pl.pallas_call(
         kern,
@@ -1564,7 +1578,7 @@ def _kernel_finish_st(
     HP: int, WP: int, H: int, W: int, schedule: str, rot_tol: float,
     div_tol: float, dx_tol: float, dy_tol: float, xy_cap: float,
     rotdiv_cap: float, max_iter: int, hard_cap: int,
-    exit_grad: float = 0.0, exit_delta: float = 1.0,
+    exit_grad: float = 0.0,
     exit_pred: float = 0.0, predicated: int = 0,
 ):
     def _body():
@@ -1574,7 +1588,7 @@ def _kernel_finish_st(
             scale=scale, schedule=schedule, rot_tol=rot_tol,
             div_tol=div_tol, dx_tol=dx_tol, dy_tol=dy_tol, xy_cap=xy_cap,
             rotdiv_cap=rotdiv_cap, max_iter=max_iter, hard_cap=hard_cap,
-            y_sh=geo_ref[0, 1], exit_grad=exit_grad, exit_delta=exit_delta,
+            y_sh=geo_ref[0, 1], exit_grad=exit_grad,
             exit_pred=exit_pred,
         )
 
@@ -1597,7 +1611,7 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
                          div_tol: float, dx_tol: float, dy_tol: float,
                          xy_cap: float, rotdiv_cap: float, max_iter: int,
                          hard_cap: int, exit_grad: float = 0.0,
-                         exit_delta: float = 1.0, exit_pred: float = 0.0,
+                         exit_pred: float = 0.0,
                          predicated: int = 0):
     """Finish + model update on (psum'd) pre-filter images: the replicated
     second half of the sharded megastep.  Returns the next ST_* state."""
@@ -1607,7 +1621,7 @@ def megastep_finish_call(acc_t, acc_c, st, geo, *, scale: int, H: int,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
         max_iter=max_iter, hard_cap=hard_cap, exit_grad=exit_grad,
-        exit_delta=exit_delta, exit_pred=exit_pred, predicated=predicated,
+        exit_pred=exit_pred, predicated=predicated,
     )
     return pl.pallas_call(
         kern,
@@ -1648,7 +1662,7 @@ def _kernel_megastep2(
     WP: int, H: int, W: int, schedule: str, rot_tol: float, div_tol: float,
     dx_tol: float, dy_tol: float, xy_cap: float, rotdiv_cap: float,
     max_iter: int, hard_cap: int, time_lo: bool = True,
-    exit_grad: float = 0.0, exit_delta: float = 1.0,
+    exit_grad: float = 0.0,
     exit_pred: float = 0.0,
 ):
     pid = pl.program_id(0)
@@ -1671,7 +1685,7 @@ def _kernel_megastep2(
                 div_tol=div_tol, dx_tol=dx_tol, dy_tol=dy_tol,
                 xy_cap=xy_cap, rotdiv_cap=rotdiv_cap, max_iter=max_iter,
                 hard_cap=hard_cap, y_sh=geo_ref[0, 1],
-                exit_grad=exit_grad, exit_delta=exit_delta,
+                exit_grad=exit_grad,
                 exit_pred=exit_pred,
             )
             # _model_update_phase dropped the carried fallback count into
@@ -1750,7 +1764,7 @@ def megastep2_call(stat, act, pr, st, img_t, img_c, geo, *, scale: int,
                    div_tol: float, dx_tol: float, dy_tol: float,
                    xy_cap: float, rotdiv_cap: float, max_iter: int,
                    hard_cap: int, time_lo: bool = True,
-                   exit_grad: float = 0.0, exit_delta: float = 1.0,
+                   exit_grad: float = 0.0,
                    exit_pred: float = 0.0):
     """One merged iteration: head-finish of the previous images + warp +
     splat.  Returns (npr[(nch, 4, CHUNK): pr_x, pr_y, nx, ny], st_out,
@@ -1762,7 +1776,7 @@ def megastep2_call(stat, act, pr, st, img_t, img_c, geo, *, scale: int,
         schedule=schedule, rot_tol=rot_tol, div_tol=div_tol, dx_tol=dx_tol,
         dy_tol=dy_tol, xy_cap=xy_cap, rotdiv_cap=rotdiv_cap,
         max_iter=max_iter, hard_cap=hard_cap, time_lo=time_lo,
-        exit_grad=exit_grad, exit_delta=exit_delta, exit_pred=exit_pred,
+        exit_grad=exit_grad, exit_pred=exit_pred,
     )
     npr, st_out, acc_t, acc_c, _fb = pl.pallas_call(
         kern,

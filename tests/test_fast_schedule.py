@@ -216,6 +216,62 @@ def test_megastep_fast_matches_composed_slice():
                                    rtol=1e-3, atol=1e-2)
 
 
+def test_predicted_exit_parity_and_effect():
+    """The model-validated one-step-ahead exit (exit_predict_cap,
+    round-5) exists in both schedule copies — the JAX _fast_loop and the
+    in-kernel _model_update_phase.  Pin (a) iteration-count equality
+    between the copies on the same Pallas splat with the knob ON, and
+    (b) that the knob only ever REDUCES per-slice iterations vs the
+    plain fast exit (it adds an exit path, never blocks one)."""
+    import jax.numpy as jnp
+
+    from better_flow_tpu.core.events import make_slice
+    from better_flow_tpu.core.model import MotionModel
+    from better_flow_tpu.models.global_flow import process_slice
+
+    d = synthetic_events(3000, duration_s=0.1, res_x=24, res_y=32,
+                         n_points=60, seed=3, vx=8.0, vy=-5.0, rot=0.05,
+                         div=0.02)
+    ev = make_slice(d["x"], d["y"], d["t_ns"].astype(np.float64),
+                    capacity=3072)
+    mk = lambda mega, **kw: OptimizerConfig.fast(
+        scale=3, min_events=500, scatter_mode="pallas",
+        splat_time_lo=True, use_megastep=mega, exit_predict_cap=4.0,
+        **kw)
+    seeds = [None,
+             jnp.asarray([-2e3, -2e3, -40.0, -40.0, 0, 0, 0, 0],
+                         jnp.float32)]
+    for seed in seeds:
+        rc = process_slice(ev, MotionModel.zero(), mk(False),
+                           SensorConfig(24, 32), seed=seed)
+        rm = process_slice(ev, MotionModel.zero(), mk(True),
+                           SensorConfig(24, 32), seed=seed)
+        assert int(rm.iters) == int(rc.iters), (int(rm.iters),
+                                                int(rc.iters))
+        for f in ("total_dx", "total_dy", "total_rot", "total_div"):
+            a = float(getattr(rc.model, f))
+            b = float(getattr(rm.model, f))
+            assert abs(a - b) <= 1e-4 * max(1.0, abs(a)), (f, a, b)
+    # (b) never more iterations than the plain fast exit.
+    d2 = synthetic_events(24000, duration_s=0.4, res_x=24, res_y=32,
+                          n_points=80, seed=7, vx=6.0, vy=-4.0, rot=0.1,
+                          div=0.04)
+    plain = compensate_recording_scan(d2["x"], d2["y"], d2["t_ns"],
+                                      _cfg("fast"))
+    pred = compensate_recording_scan(
+        d2["x"], d2["y"], d2["t_ns"],
+        PipelineConfig(
+            sensor=SensorConfig(24, 32),
+            slice=SliceConfig(max_events=4000, span_ns=int(0.1e9),
+                              refresh_events=1500,
+                              refresh_time_ns=int(0.04e9)),
+            optimizer=OptimizerConfig(schedule="fast", scale=3,
+                                      min_events=500,
+                                      exit_predict_cap=4.0)))
+    assert int(pred["iters"].sum()) <= int(plain["iters"].sum()), (
+        int(pred["iters"].sum()), int(plain["iters"].sum()))
+
+
 def test_megastep_split_matches_monolithic_slice():
     """The production fast presets now default to megastep_split=True (the
     single-device iteration as the sharded path's two kernels, no psum) —

@@ -98,10 +98,10 @@ def main():
     # so the keeping-up metric is the interval; at depth 0 the two agree
     # (interval ~ wall + host feed time).
     ivals_s = np.asarray(intervals, float)
-    rate = spans_s / np.maximum(ivals_s, 1e-9) if depth > 0 else None
+    feed_rate = rate
     realtime = spans_s / np.maximum(walls_s, 1e-9)
     if depth > 0:
-        realtime = rate
+        realtime = spans_s / np.maximum(ivals_s, 1e-9)
     out = {
         "metric": "streaming_realtime_factor",
         "value": round(float(np.median(realtime)), 3),
@@ -116,7 +116,7 @@ def main():
             "latency_ms_med": round(float(np.median(walls_s)) * 1e3, 2),
             "pipeline_depth": depth,
             "compact_fetch": compact,
-            "feed_rate_ev_s": rate,
+            "feed_rate_ev_s": feed_rate,
             "config": which,
             "device": str(jax.devices()[0]),
         },

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Tiled (config-5) pipeline cost on REAL hardware — round-5 VERDICT #4.
+
+Runs compensate_recording_tiled at 720x1280 scale 1 on a 1x1 device mesh
+on the live backend (halo machinery compiled for real — Mosaic/XLA, not
+interpret), and the untiled compensate_recording_scan on the same
+recording, reporting per-iteration and per-slice device cost for both.
+
+A 1-device mesh exercises compile + compute cost, NOT collectives: the
+halo ppermutes and the escape-lane all_gather are size-1-axis no-ops.
+The point is to anchor the BASELINE.md bandwidth model's "untiled ~260
+us/iter" with a measured number and to surface any real-hardware
+blockers in the tiled machinery (its splat is an XLA scatter-add — the
+collision-serialization cost the fused kernels avoid is part of what
+this measures).
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_tiled.py [n_events]
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from better_flow_tpu.config import (
+        OptimizerConfig,
+        PipelineConfig,
+        SensorConfig,
+        SliceConfig,
+    )
+    from better_flow_tpu.io.synthetic import synthetic_events
+    from better_flow_tpu.parallel.spatial import compensate_recording_tiled
+    from better_flow_tpu.runtime.scan_pipeline import (
+        compensate_recording_scan,
+        prepare_recording,
+    )
+
+    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 600_000
+    cfg = PipelineConfig(
+        sensor=SensorConfig(720, 1280),
+        slice=SliceConfig(max_events=60_000, span_ns=int(0.07e9),
+                          refresh_events=25_000,
+                          refresh_time_ns=int(0.03e9)),
+        optimizer=OptimizerConfig(scale=1, max_iter=10, min_events=1000),
+    )
+    d = synthetic_events(n, duration_s=n / 1.5e6, res_x=720, res_y=1280,
+                         vx=120.0, vy=-80.0, rot=0.1, div=0.03,
+                         n_points=600, jitter_px=1.5, seed=4)
+
+    # Untiled: prepared shared across warmup + measure.
+    prep = prepare_recording(d["x"], d["y"], d["t_ns"], cfg)
+    compensate_recording_scan(None, None, None, cfg, prepared=prep)
+    out_u = compensate_recording_scan(None, None, None, cfg, prepared=prep)
+    su = out_u["stats"]
+    it_u = int(np.asarray(out_u["iters"]).sum())
+
+    mesh = jax.make_mesh((1, 1), ("tile_x", "tile_y"),
+                         devices=jax.devices()[:1])
+    from better_flow_tpu.parallel.spatial import prepare_recording_tiled
+
+    prep_t = prepare_recording_tiled(d["x"], d["y"], d["t_ns"], cfg, 1, 1)
+    compensate_recording_tiled(d["x"], d["y"], d["t_ns"], cfg, mesh,
+                               halo=32, esc_cap=32768, prepared=prep_t)
+    t0 = time.perf_counter()
+    out_t = compensate_recording_tiled(d["x"], d["y"], d["t_ns"], cfg, mesh,
+                                       halo=32, esc_cap=32768,
+                                       prepared=prep_t)
+    run_t = time.perf_counter() - t0
+    it_t = int(np.asarray(out_t["iters"]).sum())
+    S = int(su["n_slices"])
+
+    ok = ~(out_u["noise"] | out_t["noise"])
+    du = float(np.median(np.abs(out_t["u"][ok] - out_u["u"][ok]))) \
+        if ok.any() else 0.0
+
+    print(json.dumps({
+        "metric": "tiled_1x1_per_iter_us",
+        "value": round(run_t / max(it_t, 1) * 1e6, 1),
+        "unit": "us/iteration (720x1280 scale 1, 1x1 mesh, XLA scatter)",
+        "detail": {
+            "n_events": int(n), "n_slices": S,
+            "untiled_run_s": round(su["run_s"], 4),
+            "untiled_iters": it_u,
+            "untiled_us_per_iter": round(su["run_s"] / max(it_u, 1) * 1e6, 1),
+            "tiled_run_s": round(run_t, 4),
+            "tiled_iters": it_t,
+            "tiled_us_per_iter": round(run_t / max(it_t, 1) * 1e6, 1),
+            "tiled_escaped_dropped": int(out_t["stats"]["escaped_dropped"]),
+            "flow_median_dev": du,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

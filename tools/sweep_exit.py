@@ -3,13 +3,14 @@
 
 Round-5 measurement harness for two VERDICT items:
 
-  * ``exit_delta_factor`` — relax the per-component delta exit test.
-    Round-4 characterized it on ONE scene and found the AEE ratio
-    fluctuating non-monotonically with the factor; this sweep decides
-    ship-or-delete across >=5 seeds x the three gate scenes.
-  * ``exit_predict_cap`` — the observed-contraction predicted-delta exit
-    (kill the mode-4 "confirmation iteration").  Same sweep decides the
-    preset value.
+  * ``exit_delta_factor`` (REMOVED by this sweep's results — see
+    config.py): factors 1.1-1.5 saved <3% iterations with noisy-mean
+    degradation; >=2 systematically under-converged rot/div scenes.
+    The delta variants below are kept for reproducing the decision via
+    ``exit_predict_cap``-era git history; running them now raises.
+  * ``exit_predict_cap`` — the model-validated one-step-ahead exit
+    (kill the mode-4 "confirmation iteration").  This sweep + the
+    rotdiv-777 trace analysis decided the preset keeps it OFF.
 
 Scenes mirror tests/test_fast_schedule.py's gates (production, rotdiv,
 dvs_sim noisy); seeds vary the scene geometry/noise stream.  For every
@@ -81,14 +82,6 @@ def main():
 
     variants = {
         "fast": {},
-        "delta1.1": dict(exit_delta_factor=1.1),
-        "delta1.2": dict(exit_delta_factor=1.2),
-        "delta1.3": dict(exit_delta_factor=1.3),
-        "delta1.4": dict(exit_delta_factor=1.4),
-        "delta1.5": dict(exit_delta_factor=1.5),
-        "delta2.0": dict(exit_delta_factor=2.0),
-        "delta2.5": dict(exit_delta_factor=2.5),
-        "delta3.0": dict(exit_delta_factor=3.0),
         "pred1.2": dict(exit_predict_cap=1.2),
         "pred1.5": dict(exit_predict_cap=1.5),
         "pred2": dict(exit_predict_cap=2.0),
