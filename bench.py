@@ -159,6 +159,7 @@ def main():
                     "n_slices": st["n_slices"],
                     "run_s": round(st["run_s"], 4),
                     "plan_s": round(st["plan_s"], 4),
+                    "plan_breakdown": prepared.get("plan_breakdown"),
                     "cold_events_per_s": round(cold, 1),
                     "mean_iters": round(st["mean_iters"], 2),
                     "schedule": schedule,

@@ -405,7 +405,15 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
     shard)."""
     t_ns = np.ascontiguousarray(t_ns, np.int64)
     t0 = time.perf_counter()
+    phases = {}
+
+    def _mark(name, since=[t0]):
+        now = time.perf_counter()
+        phases[name] = round(phases.get(name, 0.0) + now - since[0], 4)
+        since[0] = now
+
     plan_full = plan_slices(t_ns, cfg)
+    _mark("plan")
     S_full = len(plan_full.ends)
     # Noise-history depth must be range-independent (carry shape is part
     # of the hand-off contract): compute from the FULL plan.
@@ -443,6 +451,7 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
     dev_parts = None
     if len(plan.ends) > 0 and capp < 0xFFFF:
         x16y16 = _native.coords_u16(x, y)
+        _mark("coords_u16")
     if x16y16 is not None:
         # Pipelined staging: sort slice-range batches on the host thread
         # pool while the previous batch's slabs stream to the device
@@ -467,7 +476,9 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
                 ok = False
                 break
             host_parts.append(out)
+            _mark("native_sort")
             put_parts.append(tuple(jax.device_put(a) for a in out[:4]))
+            _mark("device_put_issue")
         if ok:
             # Host keeps only what accumulation needs (perm) and the small
             # bbox; the big slabs live as per-batch device arrays.
@@ -475,6 +486,7 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
                 if n_batch > 1 else host_parts[0][3]
             bbox_native = np.concatenate([p[4] for p in host_parts]) \
                 if n_batch > 1 else host_parts[0][4]
+            _mark("host_concat")
             dev_parts = put_parts
             native_out = True
     compact = x16y16 is not None
@@ -551,6 +563,7 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
 
             prepared.update(xs16=_cat(0), ys16=_cat(1), ts=_cat(2),
                             perm=_cat(3))
+            _mark("device_cat_dispatch")
         else:
             perm = idx.astype(np.int64) - plan.starts.astype(np.int64)[:, None]
             perm = np.where(idx >= 0, perm,
@@ -564,7 +577,9 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
     else:
         prepared.update(xs=jnp.asarray(xs), ys=jnp.asarray(ys),
                         ts=jnp.asarray(ts), idx=jnp.asarray(idx))
+    _mark("tail")
     prepared["plan_s"] = time.perf_counter() - t0
+    prepared["plan_breakdown"] = phases
     return prepared
 
 
