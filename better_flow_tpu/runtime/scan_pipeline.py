@@ -462,30 +462,52 @@ def prepare_recording(x, y, t_ns, cfg: PipelineConfig, slice_range=None,
         S_all = len(plan.starts)
         n_batch = 4 if S_all >= 64 else 1
         bounds = np.linspace(0, S_all, n_batch + 1).astype(np.int64)
-        host_parts, put_parts = [], []
+        host_parts, put_futs = [], []
         ok = True
-        for b in range(n_batch):
-            b0, b1 = int(bounds[b]), int(bounds[b + 1])
-            out = _native.materialize_bandpad_u16(
-                x16y16[0], x16y16[1], t_ns,
-                plan.starts[b0:b1], plan.ends[b0:b1],
-                plan.slice_start_ns[b0:b1],
-                capp, band_rows, CHUNK, n_bands, cfg.sensor.res_y,
-            )
-            if out is None:
-                ok = False
-                break
-            host_parts.append(out)
-            _mark("native_sort")
-            put_parts.append(tuple(jax.device_put(a) for a in out[:4]))
-            _mark("device_put_issue")
+        # device_put through the axon relay BLOCKS for the transfer
+        # (~300 MB/s sustained measured round 5), so puts run on a
+        # worker thread: batch b's transfer rides behind batch b+1's
+        # native sort instead of serializing with it.  The host slab
+        # buffers are write-once-before-submit, so workers only ever
+        # read completed batches.  A second worker overlaps the perm/
+        # bbox host concatenation (~300 MB memcpy at 48M) with the tail
+        # transfers.  Round-5 breakdown at 48M (fresh process): 23.2 s
+        # serial -> 12.6 s with the put overlap alone; see BASELINE.md.
+        import concurrent.futures as _cf
+
+        put_pool = _cf.ThreadPoolExecutor(max_workers=2)
+        try:
+            for b in range(n_batch):
+                b0, b1 = int(bounds[b]), int(bounds[b + 1])
+                out = _native.materialize_bandpad_u16(
+                    x16y16[0], x16y16[1], t_ns,
+                    plan.starts[b0:b1], plan.ends[b0:b1],
+                    plan.slice_start_ns[b0:b1],
+                    capp, band_rows, CHUNK, n_bands, cfg.sensor.res_y,
+                )
+                if out is None:
+                    ok = False
+                    break
+                host_parts.append(out)
+                _mark("native_sort")
+                put_futs.append(put_pool.submit(
+                    lambda o=out: tuple(jax.device_put(a)
+                                        for a in o[:4])))
+            concat_fut = None
+            if ok:
+                concat_fut = put_pool.submit(lambda: (
+                    np.concatenate([p[3] for p in host_parts])
+                    if n_batch > 1 else host_parts[0][3],
+                    np.concatenate([p[4] for p in host_parts])
+                    if n_batch > 1 else host_parts[0][4]))
+            put_parts = [f.result() for f in put_futs] if ok else []
+            _mark("device_put_wait")
+        finally:
+            put_pool.shutdown(wait=False)
         if ok:
             # Host keeps only what accumulation needs (perm) and the small
             # bbox; the big slabs live as per-batch device arrays.
-            perm_n = np.concatenate([p[3] for p in host_parts]) \
-                if n_batch > 1 else host_parts[0][3]
-            bbox_native = np.concatenate([p[4] for p in host_parts]) \
-                if n_batch > 1 else host_parts[0][4]
+            perm_n, bbox_native = concat_fut.result()
             _mark("host_concat")
             dev_parts = put_parts
             native_out = True
