@@ -1090,6 +1090,18 @@ def compensate_recording_cold(
             else:
                 for a in acc:
                     a.copy_to_host_async()
+            # Bounded memory (the reference's defining property,
+            # datastructures.h:31-59): once this batch's accumulation is
+            # DISPATCHED, nothing downstream reads the input slabs or
+            # the [S_b, ...] uvn again — the stitch uses only (iters,
+            # acc) for compact batches and the checkpoint writer only
+            # (iters, acc, carry).  Dropping the Python refs here lets
+            # the runtime free each batch's ~GB of slabs+outputs as its
+            # programs complete, so peak device memory is ~2 batches
+            # regardless of recording length (round-5 VERDICT #6).
+            prep = None
+            uvn = None
+            outs = (None, iters, ran)
         else:
             carry, outs, chk = _scan_slices(
                 prep["xs"], prep["ys"], prep["ts"], prep["idx"],
