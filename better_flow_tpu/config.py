@@ -164,6 +164,28 @@ class OptimizerConfig:
     # streams that can bound rot/div externally.  Ignored by the
     # reference schedule.
     exit_predict_cap: float = 0.0
+    # Extrapolated warm start (round-5; 0 = off, i.e. the reference's
+    # plain warm start).  The reference warm-starts each slice from the
+    # previous slice's converged model (dvs_flow.h:218-219); on smooth
+    # streams the optimum still DRIFTS slice to slice (scene evolution:
+    # ~5-10x tolerance of first-iteration delta on the bench chain), and
+    # the optimizer spends its iteration budget re-walking that drift
+    # every slice.  With alpha > 0 the scan path starts the optimizer at
+    # model + alpha*(model_k - model_{k-1}) — a linear extrapolation of
+    # the converged totals' trajectory — while gated/skipped slices and
+    # the warm-start warp of record keep the UNextrapolated model (the
+    # carry never random-walks through gaps, and a skipped slice's
+    # output warp is exactly the reference's).  This changes only the
+    # optimizer's STARTING point: every convergence test (tolerances,
+    # gradient qualification) is unchanged.  MEASURED DEAD END for
+    # throughput (round-5, kept so it is not re-derived): bench-chain
+    # mean_iters 4.04 -> 3.96 at alpha=1.0 — the slope-seeded first
+    # step already walks the drift efficiently, and the iteration
+    # budget is spent on terminal refinement, which a better start
+    # cannot shorten.  alpha=0.5 measured quality-noisy on the rotdiv
+    # chain (the usual warm-start chain chaos).  Scan-path only
+    # (streaming/tiled keep the reference warm start).
+    warm_extrapolate: float = 0.0
     # Run the single-device fused-Pallas path through the megastep kernel
     # (whole iteration incl. scalar model update in ONE pallas_call) when
     # eligible; False forces the composed per-kernel loop.  With the hi+lo

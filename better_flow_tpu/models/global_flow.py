@@ -917,6 +917,7 @@ def process_slice(
     n_valid=None,
     want_uvn: bool = False,
     act3=None,
+    start_model=None,
 ) -> SliceResult:
     """Process one slice end to end — jit over static (capacity, scale, res).
 
@@ -924,6 +925,13 @@ def process_slice(
     set_cloud (reset + geometry), set_model warm start unless disabled, run,
     then per-event compute_uv.  ``warm_start`` corresponds to !stm_disable
     (dvs_flow.h:218-219) and is a static flag.
+
+    ``start_model`` (optional) replaces ``last_model`` as the RUN
+    branch's optimizer starting point only (the extrapolated warm start,
+    OptimizerConfig.warm_extrapolate): the skip branch — whose output IS
+    the slice's warp of record when gated — and the noise/gate logic
+    keep ``last_model``, so gated slices never drift on extrapolations
+    that no optimization corrected.
 
     ``want_uvn`` (static) additionally returns the slice scan's packed
     per-event ys — a chunk-layout (nch, 3, CHUNK) [u, v, noise] array
@@ -968,6 +976,8 @@ def process_slice(
                               axis_name)
 
     model = last_model if warm_start else MotionModel.zero()
+    opt_start = model if (start_model is None or not warm_start) \
+        else start_model
 
     if n_valid is not None:
         n_events = jnp.asarray(n_valid, jnp.int32)
@@ -1014,7 +1024,7 @@ def process_slice(
 
         final_model, pr_x, pr_y, nx, ny, iters, seed_out, uvn = lax.cond(
             ran,
-            lambda _: _run_fused(ev, geom, model, cfg, scale, H, W,
+            lambda _: _run_fused(ev, geom, opt_start, cfg, scale, H, W,
                                  stat3=stat3 if presorted else None,
                                  axis_name=axis_name, seed=seed,
                                  act3=act3),
@@ -1026,24 +1036,41 @@ def process_slice(
         # Warm-start warp (set_model, optimizer_rolling.h:289-299): re-apply
         # the previous slice's accumulated warp about its event-coordinate
         # centroid.  With a zero model this is the identity.
-        pr_x, pr_y, nx, ny = project_4param_reinit(
-            ev.x, ev.y, ev.t, ev.x, ev.y,
-            -model.total_dx, -model.total_dy, model.cx, model.cy,
-            model.total_div, -model.total_rot,
-        )
-        init = GlobalFlowState(
-            pr_x=pr_x, pr_y=pr_y, nx=nx, ny=ny, model=model,
-            x_div=jnp.float32(1), y_div=jnp.float32(1),
-            rot_div=jnp.float32(1), div_div=jnp.float32(1),
-            iters=jnp.int32(0),
-        )
-        final, seed_out = lax.cond(
-            ran,
-            lambda s: _run_optimizer(s, ev, geom, scale, H, W, cfg,
-                                     axis_name, seed=seed),
-            lambda s: (s, jnp.zeros(8, jnp.float32)),
-            init,
-        )
+        def _warp_init(m):
+            pr_x, pr_y, nx, ny = project_4param_reinit(
+                ev.x, ev.y, ev.t, ev.x, ev.y,
+                -m.total_dx, -m.total_dy, m.cx, m.cy,
+                m.total_div, -m.total_rot,
+            )
+            return GlobalFlowState(
+                pr_x=pr_x, pr_y=pr_y, nx=nx, ny=ny, model=m,
+                x_div=jnp.float32(1), y_div=jnp.float32(1),
+                rot_div=jnp.float32(1), div_div=jnp.float32(1),
+                iters=jnp.int32(0),
+            )
+
+        if opt_start is model:
+            # Plain warm start: one shared warp feeds both branches (the
+            # exact pre-round-5 program — keeps golden/parity ulps).
+            init = _warp_init(model)
+            final, seed_out = lax.cond(
+                ran,
+                lambda s: _run_optimizer(s, ev, geom, scale, H, W, cfg,
+                                         axis_name, seed=seed),
+                lambda s: (s, jnp.zeros(8, jnp.float32)),
+                init,
+            )
+        else:
+            # Extrapolated start: the run branch warps + optimizes from
+            # opt_start; the skip branch keeps the unextrapolated model.
+            final, seed_out = lax.cond(
+                ran,
+                lambda _: _run_optimizer(_warp_init(opt_start), ev, geom,
+                                         scale, H, W, cfg, axis_name,
+                                         seed=seed),
+                lambda _: (_warp_init(model), jnp.zeros(8, jnp.float32)),
+                0,
+            )
         final_model = final.model
         pr_x, pr_y, nx, ny = final.pr_x, final.pr_y, final.nx, final.ny
         iters = final.iters

@@ -214,17 +214,33 @@ BAND_ROWS: int = 36
 
 def make_carry(init_model, hist_k: int, seed=None, ws_h=None, st_h=None,
                en_h=None):
-    """Initial (or hand-off) scan carry: (model, secant seed, window_small
-    history, start history, end history).  The histories let a scan start
-    mid-recording with exact noise flags (slice s's events are noise iff
-    any of the last hist_k slices fired the window gate and the event's
-    original index falls in that slice's range); the model+seed continue
-    the warm-start chain.  This is the 15-scalar-plus-history hand-off of
-    multi-host range pipelining (parallel/multihost.py) and of the
-    batch-pipelined cold path."""
+    """Initial (or hand-off) scan carry: (model, secant seed + previous
+    totals, window_small history, start history, end history).  The
+    histories let a scan start mid-recording with exact noise flags
+    (slice s's events are noise iff any of the last hist_k slices fired
+    the window gate and the event's original index falls in that slice's
+    range); the model+seed continue the warm-start chain.  This is the
+    hand-off of multi-host range pipelining (parallel/multihost.py) and
+    of the batch-pipelined cold path.
+
+    The seed vector is (12,): [secant slope memory (4), last in-slice
+    deltas (4), previous slice's converged totals (rot, div, dx, dy)].
+    The trailing totals drive the extrapolated warm start
+    (OptimizerConfig.warm_extrapolate); initializing them to the init
+    model's own totals makes the first slice's extrapolation delta zero.
+    An (8,) seed (pre-round-5 hand-off) is padded the same way."""
+    tot0 = jnp.stack([init_model.total_rot, init_model.total_div,
+                      init_model.total_dx, init_model.total_dy]
+                     ).astype(jnp.float32)
+    if seed is None:
+        seed12 = jnp.concatenate([jnp.zeros(8, jnp.float32), tot0])
+    elif seed.shape[0] == 8:
+        seed12 = jnp.concatenate([seed, tot0])
+    else:
+        seed12 = seed
     return (
         init_model,
-        jnp.zeros(8, jnp.float32) if seed is None else seed,
+        seed12,
         jnp.zeros((hist_k,), bool) if ws_h is None else ws_h,
         jnp.zeros((hist_k,), jnp.int32) if st_h is None else st_h,
         jnp.full((hist_k,), -1, jnp.int32) if en_h is None else en_h,
@@ -305,13 +321,30 @@ def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
 
             act3 = act_rows_call(sidx, ws_h, st_h, en_h)
         # slices were spatially pre-sorted on the host (materialize_slices);
-        # ``sd`` carries the secant slope memory across slices (fast schedule
-        # only — the reference schedule returns and ignores zeros).
+        # ``sd`` carries the secant slope memory + the previous slice's
+        # converged totals across slices (fast schedule only — the
+        # reference schedule returns and ignores zeros).
+        start_model = None
+        cur_tot = jnp.stack([model.total_rot, model.total_div,
+                             model.total_dx, model.total_dy]
+                            ).astype(jnp.float32)
+        if warm and opt.warm_extrapolate > 0:
+            # Extrapolated warm start (OptimizerConfig.warm_extrapolate):
+            # start the optimizer at model + alpha*(model - prev_model),
+            # where prev_model is the model that entered the PREVIOUS
+            # slice (sd[8:12]) — the delta spans exactly one slice of
+            # converged-total drift.  Only the optimizer's starting
+            # point moves — the skip branch, the warm-start warp of
+            # record, and every exit test keep the plain warm-start
+            # model.
+            a = jnp.float32(opt.warm_extrapolate)
+            dlt = (a * (cur_tot - sd[8:12])).astype(model.total_dx.dtype)
+            start_model = model.add_totals(dlt[0], dlt[1], dlt[2], dlt[3])
         res, uvn = process_slice(ev, model, opt, sensor, warm_start=warm,
                                  presorted=True, stat3=stat3,
-                                 axis_name=axis_name, seed=sd,
+                                 axis_name=axis_name, seed=sd[:8],
                                  bbox=bb, n_valid=nv, want_uvn=True,
-                                 act3=act3)
+                                 act3=act3, start_model=start_model)
         ws_h = jnp.concatenate([ws_h[1:], res.window_small[None]])
         st_h = jnp.concatenate([st_h[1:], start[None]])
         en_h = jnp.concatenate([en_h[1:], end[None]])
@@ -335,7 +368,10 @@ def _run_scan(xs, ys, ts, idx, starts, ends, bbox, nval, carry0,
                                  1.0 - valid.astype(jnp.float32)))],
                 axis=1)
         out = (uvn, res.iters, res.ran)
-        return (res.model, res.seed, ws_h, st_h, en_h), out
+        # Trailing seed totals = the model that ENTERED this slice, so the
+        # next step's extrapolation delta spans exactly one slice.
+        sd_new = jnp.concatenate([res.seed, cur_tot])
+        return (res.model, sd_new, ws_h, st_h, en_h), out
 
     if stat3_all is not None:
         scan_inputs = (idx, starts, ends, bbox, nval, stat3_all)
@@ -764,6 +800,22 @@ def _accumulate_first_wins(prepared, uvn, acc=None, claimed=None):
     return acc_u, acc_v, acc_noise
 
 
+def _estimate_scan_device_bytes(t_ns, cfg: PipelineConfig) -> float:
+    """Device residency of the one-program scan: input slabs (x/y u16 +
+    t f32 + perm u16 = 10 B/slot), the stacked uvn output (3 f32 =
+    12 B/slot), plus the [n] accumulation outputs.  Slots = S * padded
+    capacity; the trigger plan is cheap to compute standalone (~10 ms at
+    48M events)."""
+    from better_flow_tpu.ops.pallas.fused_model import CHUNK
+
+    plan = plan_slices(np.ascontiguousarray(t_ns, np.int64), cfg)
+    S = len(plan.ends)
+    n_bands = max(cfg.sensor.res_x + BAND_ROWS - 1, BAND_ROWS) // BAND_ROWS
+    cap = cfg.slice.max_events
+    capp = -(-(cap + n_bands * (CHUNK - 1)) // CHUNK) * CHUNK
+    return float(S) * capp * (10 + 12) + len(t_ns) * 13.0
+
+
 def compensate_recording_scan(
     x,
     y,
@@ -791,6 +843,29 @@ def compensate_recording_scan(
     """
     cfg = cfg or PipelineConfig()
     if prepared is None:
+        # Bounded-memory guard (round-5): the one-program scan keeps the
+        # full slab set + the stacked uvn output resident (estimated
+        # ~7.7 GB at 96M events, which RESOURCE_EXHAUSTs the v5e pool
+        # slice once accumulation temporaries land on top).  Recordings
+        # whose estimated residency exceeds the budget route through the
+        # batch-pipelined cold path, whose peak is ~2 batches regardless
+        # of length (staging/compute/fetch overlap; bit-identical
+        # outputs).  The budget is tunable via BF_SCAN_DEVICE_BUDGET_GB;
+        # callers that pre-staged (``prepared``) made the residency
+        # decision themselves and are not second-guessed.
+        import os as _os
+
+        budget_gb = float(_os.environ.get("BF_SCAN_DEVICE_BUDGET_GB", 5.0))
+        est = _estimate_scan_device_bytes(np.asarray(t_ns), cfg)
+        if est > budget_gb * 1e9:
+            n_batch = max(4, int(np.ceil(est / (budget_gb * 1e9) * 2)))
+            out = compensate_recording_cold(x, y, t_ns, cfg,
+                                            n_batch=n_batch)
+            out["stats"]["plan_s"] = 0.0
+            out["stats"]["run_s"] = out["stats"]["total_s"]
+            out["stats"]["routed_cold"] = True
+            out["stats"]["est_device_gb"] = round(est / 1e9, 2)
+            return out
         prepared = prepare_recording(x, y, t_ns, cfg)
     plan = prepared["plan"]
     n = prepared["n"]
@@ -855,7 +930,7 @@ def compensate_recording_scan(
     }
 
 
-_CKPT_VERSION = 1
+_CKPT_VERSION = 2
 
 
 def config_digest(cfg: PipelineConfig) -> str:

@@ -268,3 +268,38 @@ def test_act_rows_bit_identical_to_pack_act():
         noise |= ws_h[j] & (sidx >= st_h[j]) & (sidx <= en_h[j])
     want = pack_act(jnp.asarray(valid & ~noise))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_scan_auto_routes_to_bounded_cold(monkeypatch):
+    """Round-5 bounded-memory guard: a recording whose estimated device
+    residency exceeds BF_SCAN_DEVICE_BUDGET_GB routes through the
+    batch-pipelined cold path — same u/v/noise/iters as the one-program
+    scan (range-chained scans are exact; tests/test_multihost.py), with
+    the routing flagged in stats."""
+    from better_flow_tpu.config import (
+        OptimizerConfig, PipelineConfig, SensorConfig, SliceConfig)
+    from better_flow_tpu.io.synthetic import synthetic_events
+    from better_flow_tpu.runtime.scan_pipeline import (
+        compensate_recording_scan)
+
+    d = synthetic_events(24000, duration_s=0.4, res_x=24, res_y=32,
+                         n_points=80, seed=7, vx=6.0, vy=-4.0, rot=0.1,
+                         div=0.04)
+    cfg = PipelineConfig(
+        sensor=SensorConfig(24, 32),
+        slice=SliceConfig(max_events=4000, span_ns=int(0.1e9),
+                          refresh_events=1500,
+                          refresh_time_ns=int(0.04e9)),
+        optimizer=OptimizerConfig(scale=3, min_events=500,
+                                  schedule="fast"))
+    plain = compensate_recording_scan(d["x"], d["y"], d["t_ns"], cfg)
+    assert "routed_cold" not in plain["stats"]
+    monkeypatch.setenv("BF_SCAN_DEVICE_BUDGET_GB", "0.001")
+    routed = compensate_recording_scan(d["x"], d["y"], d["t_ns"], cfg)
+    assert routed["stats"].get("routed_cold") is True
+    assert routed["stats"]["n_batches"] >= 4
+    np.testing.assert_array_equal(routed["noise"], plain["noise"])
+    np.testing.assert_array_equal(routed["iters"],
+                                  np.asarray(plain["iters"]))
+    np.testing.assert_array_equal(routed["u"], plain["u"])
+    np.testing.assert_array_equal(routed["v"], plain["v"])
