@@ -854,6 +854,89 @@ def _kernel_windowed(scal_ref, prx_r_ref, pry_r_ref, t_r_ref, act_r_ref,
         _finish_phase(acc_t, acc_c, out_ref, scale, HP, WP, H, W)
 
 
+def _kernel_local_splat(lx_ref, ly_ref, t_ref, out_t_ref, out_c_ref,
+                        acc_t, acc_c, *, HP: int, WP: int, lo: bool):
+    """Raw time/count splat into a LOCAL image from precomputed integer
+    positions (round-5, for the tiled config-5 path): the caller already
+    warped, scaled and halo-shifted the events and encoded rejects as
+    -1, so the kernel is just the windowed one-hot MXU accumulation —
+    the piece whose XLA scatter equivalent measured 16 ms/iteration on
+    real v5e (colliding updates serialize; tools/bench_tiled.py)."""
+    pid = pl.program_id(0)
+    n_prog = pl.num_programs(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        acc_t[:, :] = jnp.zeros((HP, WP), jnp.float32)
+        acc_c[:, :] = jnp.zeros((HP, WP), jnp.float32)
+
+    row = lx_ref[0].astype(jnp.int32)
+    colr = ly_ref[0].astype(jnp.int32)
+    _windowed_splat(acc_t, acc_c, row, colr, t_ref[0], HP, WP, lo=lo)
+
+    @pl.when(pid == n_prog - 1)
+    def _emit():
+        out_t_ref[:, :] = acc_t[:, :]
+        out_c_ref[:, :] = acc_c[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "time_lo"))
+def splat_local_call(lx, ly, t_sec, H: int, W: int, time_lo: bool = True):
+    """(tsum, cnt) images [H, W] from local integer positions.
+
+    ``lx``/``ly`` are f32 event positions in the target image frame with
+    -1 for rejected/padded events; ``t_sec`` their timestamps in seconds
+    (summed raw into tsum — the tiled iteration divides by the
+    box-filtered count afterwards).  Events should be pre-sorted
+    spatially (e.g. by (x, y)) so chunks stay within the (RH, WC)
+    window; unsorted input is still exact via the full-joint fallback.
+    ``time_lo`` keeps the bf16 hi+lo time pair (~16-bit effective —
+    matching the XLA scatter's f32 sums to ulp level on 0.2 s slices)."""
+    n = lx.shape[0]
+    n_pad = _round_up(max(n, CHUNK), CHUNK)
+    HP = _round_up(max(H, RH), 32)
+    WP = _round_up(max(W, WC), 128)
+
+    def pad_row(a, fill):
+        return jnp.pad(a.astype(jnp.float32), (0, n_pad - n),
+                       constant_values=fill).reshape(
+            n_pad // CHUNK, 1, CHUNK)
+
+    lx_r = pad_row(lx, -1.0)
+    ly_r = pad_row(ly, -1.0)
+    t_r = pad_row(t_sec, 0.0)
+    n_chunks = n_pad // CHUNK
+    kern = functools.partial(_kernel_local_splat, HP=HP, WP=WP, lo=time_lo)
+    out_t, out_c = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_specs=[
+            pl.BlockSpec((HP, WP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, WP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((HP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((HP, WP), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((HP, WP), jnp.float32),
+            pltpu.VMEM((HP, WP), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(lx_r, ly_r, t_r)
+    return out_t[:H, :W], out_c[:H, :W]
+
+
 def sort_key_blocks(x, y, valid, band_rows: int = 32):
     """Spatial sort key from ORIGINAL event pixels: row-band major, column
     minor.  Sorting once per slice by this key makes every CHUNK of events

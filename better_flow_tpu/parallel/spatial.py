@@ -62,6 +62,10 @@ from better_flow_tpu.ops.warp import compute_uv, project_4param_reinit
 
 AX_X, AX_Y = "tile_x", "tile_y"
 
+# jitted recording-scan programs keyed on (cfg, mesh, halo, esc_cap,
+# hist_k) — see compensate_recording_tiled.
+_TILED_SCAN_CACHE: dict = {}
+
 
 def _halo_exchange_add(img: jnp.ndarray, halo: int, axis: int, axis_name: str):
     """Add this device's halo strips into the neighbours along one axis.
@@ -168,7 +172,7 @@ def _escape_lane(gx, gy, t, escaped, esc_cap: int):
 def _tiled_iteration(
     state, x, y, t, active, model, dividers, scale: int,
     tile_h: int, tile_w: int, halo: int, img_h: int, img_w: int,
-    esc_cap: int, geom=None, update_fn=None,
+    esc_cap: int, geom=None, update_fn=None, scatter_mode: str = "auto",
 ):
     """One optimizer iteration on a tiled image (see module docstring).
 
@@ -218,11 +222,32 @@ def _tiled_iteration(
     ly = gy - col0 + halo
     in_halo = (lx >= 0) & (lx < H) & (ly >= 0) & (ly < W)
     ok = inb & in_halo
-    lin = jnp.where(ok, lx * W + ly, H * W)
-    tsum = jnp.zeros((H * W,), jnp.float32).at[lin].add(t / 1e9, mode="drop")
-    cnt = jnp.zeros((H * W,), jnp.float32).at[lin].add(1.0, mode="drop")
-    tsum = tsum.reshape(H, W)
-    cnt = cnt.reshape(H, W)
+    mode = scatter_mode
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if mode == "pallas":
+        # Windowed one-hot MXU splat (ops/pallas/fused_model.
+        # splat_local_call): the XLA scatter below measured 16
+        # ms/iteration on real v5e at 60k events (colliding updates
+        # serialize — tools/bench_tiled.py, BASELINE.md round 5).
+        # Events should be pre-sorted by (x, y) at staging for the
+        # windowed fast path; unsorted input takes the exact
+        # full-joint fallback.
+        from better_flow_tpu.ops.pallas.fused_model import (
+            splat_local_call,
+        )
+
+        lxf = jnp.where(ok, lx, -1).astype(jnp.float32)
+        lyf = jnp.where(ok, ly, -1).astype(jnp.float32)
+        tsum, cnt = splat_local_call(lxf, lyf, t / 1e9, H, W)
+    else:
+        lin = jnp.where(ok, lx * W + ly, H * W)
+        tsum = jnp.zeros((H * W,), jnp.float32).at[lin].add(
+            t / 1e9, mode="drop")
+        cnt = jnp.zeros((H * W,), jnp.float32).at[lin].add(
+            1.0, mode="drop")
+        tsum = tsum.reshape(H, W)
+        cnt = cnt.reshape(H, W)
 
     # Reconcile cross-tile splats: exchange+add halos (x then y; corners
     # ride through because the y-phase exchanges already-merged x strips).
@@ -366,6 +391,7 @@ def process_slice_tiled(
                 (s.pr_x, s.pr_y), x, y, t, active, s.model,
                 (s.x_div, s.y_div, s.rot_div, s.div_div),
                 scale, tile_h, tile_w, halo, img_h, img_w, esc_cap,
+                scatter_mode=cfg.scatter_mode,
             )
             return s._replace(
                 pr_x=pr2[0], pr_y=pr2[1], nx=nx, ny=ny, model=model2,
@@ -487,6 +513,13 @@ def bucket_events_2d(x, y, t, res_x: int, res_y: int, scale: int,
     idx_out = np.full(n_tiles * cap_per_tile, -1, np.int32)
     for tile in range(n_tiles):
         sel = np.nonzero(home == tile)[0][:cap_per_tile]
+        # Spatial (x, y) order within the bucket: keeps every CHUNK of
+        # the Pallas local splat inside its (RH, WC) window (round-5;
+        # unsorted buckets are still exact via the full-joint fallback,
+        # ~10x the windowed MXU cost).  Order never leaks: every
+        # per-event consumer maps through idx.
+        if len(sel):
+            sel = sel[np.lexsort((y[sel], x[sel]))]
         base = tile * cap_per_tile
         xs[base : base + len(sel)] = x[sel]
         ys[base : base + len(sel)] = y[sel]
@@ -670,6 +703,7 @@ def compensate_recording_tiled(
                         (s.x_div, s.y_div, s.rot_div, s.div_div),
                         scale, tile_h, tile_w, halo, img_h, img_w,
                         esc_cap, geom=geom, update_fn=uf,
+                        scatter_mode=opt.scatter_mode,
                     )
                     return s._replace(
                         pr_x=pr2[0], pr_y=pr2[1], nx=nx, ny=ny,
@@ -710,16 +744,25 @@ def compensate_recording_tiled(
     ev_spec = P(None, (AX_X, AX_Y))
     model0 = init_model or MotionModel.zero()
     model_spec = jax.tree_util.tree_map(lambda _: P(), model0)
-    fn = jax.jit(jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(ev_spec, ev_spec, ev_spec, ev_spec,
-                  P(None), P(None), P(None), P(None), model_spec),
-        out_specs=(model_spec,
-                   (ev_spec, ev_spec, ev_spec, P(None), P(None)),
-                   P()),
-        check_vma=False,
-    ))
+    # Cache the jitted shard_map per static configuration: a fresh
+    # closure per call is a fresh jit identity, which recompiled the
+    # whole scan EVERY call (~10-17 s through the relay per invocation —
+    # both round-5 tiled-vs-untiled on-chip numbers were initially
+    # compile-dominated because of this).
+    fn_key = (cfg, mesh, halo, esc_cap, hist_k)
+    fn = _TILED_SCAN_CACHE.get(fn_key)
+    if fn is None:
+        fn = jax.jit(jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(ev_spec, ev_spec, ev_spec, ev_spec,
+                      P(None), P(None), P(None), P(None), model_spec),
+            out_specs=(model_spec,
+                       (ev_spec, ev_spec, ev_spec, P(None), P(None)),
+                       P()),
+            check_vma=False,
+        ))
+        _TILED_SCAN_CACHE[fn_key] = fn
     t0 = _time.perf_counter()
     fmodel, (u, v, noise_s, iters, esc), chk = fn(
         prepared["xb"], prepared["yb"], prepared["tb"], prepared["idx"],

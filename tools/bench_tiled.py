@@ -66,37 +66,47 @@ def main():
                          devices=jax.devices()[:1])
     from better_flow_tpu.parallel.spatial import prepare_recording_tiled
 
-    prep_t = prepare_recording_tiled(d["x"], d["y"], d["t_ns"], cfg, 1, 1)
-    compensate_recording_tiled(d["x"], d["y"], d["t_ns"], cfg, mesh,
-                               halo=32, esc_cap=32768, prepared=prep_t)
-    t0 = time.perf_counter()
-    out_t = compensate_recording_tiled(d["x"], d["y"], d["t_ns"], cfg, mesh,
-                                       halo=32, esc_cap=32768,
-                                       prepared=prep_t)
-    run_t = time.perf_counter() - t0
-    it_t = int(np.asarray(out_t["iters"]).sum())
-    S = int(su["n_slices"])
+    detail = {
+        "n_events": int(n), "n_slices": int(su["n_slices"]),
+        "untiled_run_s": round(su["run_s"], 4),
+        "untiled_iters": it_u,
+        "untiled_us_per_iter": round(su["run_s"] / max(it_u, 1) * 1e6, 1),
+        "device": str(jax.devices()[0]),
+    }
+    rows = {}
+    for mode in ("pallas", "xla"):
+        import dataclasses
 
-    ok = ~(out_u["noise"] | out_t["noise"])
-    du = float(np.median(np.abs(out_t["u"][ok] - out_u["u"][ok]))) \
-        if ok.any() else 0.0
+        cfg_m = cfg.replace(optimizer=dataclasses.replace(
+            cfg.optimizer, scatter_mode=mode))
+        prep_t = prepare_recording_tiled(d["x"], d["y"], d["t_ns"],
+                                         cfg_m, 1, 1)
+        compensate_recording_tiled(d["x"], d["y"], d["t_ns"], cfg_m, mesh,
+                                   halo=32, esc_cap=32768, prepared=prep_t)
+        t0 = time.perf_counter()
+        out_t = compensate_recording_tiled(d["x"], d["y"], d["t_ns"],
+                                           cfg_m, mesh, halo=32,
+                                           esc_cap=32768, prepared=prep_t)
+        run_t = time.perf_counter() - t0
+        it_t = int(np.asarray(out_t["iters"]).sum())
+        ok = ~(out_u["noise"] | out_t["noise"])
+        du = float(np.median(np.abs(out_t["u"][ok] - out_u["u"][ok]))) \
+            if ok.any() else 0.0
+        rows[mode] = round(run_t / max(it_t, 1) * 1e6, 1)
+        detail.update({
+            f"tiled_{mode}_run_s": round(run_t, 4),
+            f"tiled_{mode}_iters": it_t,
+            f"tiled_{mode}_us_per_iter": rows[mode],
+            f"tiled_{mode}_escaped_dropped": int(
+                out_t["stats"]["escaped_dropped"]),
+            f"tiled_{mode}_flow_median_dev_vs_untiled": du,
+        })
 
     print(json.dumps({
         "metric": "tiled_1x1_per_iter_us",
-        "value": round(run_t / max(it_t, 1) * 1e6, 1),
-        "unit": "us/iteration (720x1280 scale 1, 1x1 mesh, XLA scatter)",
-        "detail": {
-            "n_events": int(n), "n_slices": S,
-            "untiled_run_s": round(su["run_s"], 4),
-            "untiled_iters": it_u,
-            "untiled_us_per_iter": round(su["run_s"] / max(it_u, 1) * 1e6, 1),
-            "tiled_run_s": round(run_t, 4),
-            "tiled_iters": it_t,
-            "tiled_us_per_iter": round(run_t / max(it_t, 1) * 1e6, 1),
-            "tiled_escaped_dropped": int(out_t["stats"]["escaped_dropped"]),
-            "flow_median_dev": du,
-            "device": str(jax.devices()[0]),
-        },
+        "value": rows["pallas"],
+        "unit": "us/iteration (720x1280 scale 1, 1x1 mesh, pallas splat)",
+        "detail": detail,
     }))
 
 
