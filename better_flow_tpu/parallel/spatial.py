@@ -261,18 +261,36 @@ def _tiled_iteration(
     # pixel falls in this device's owned region (before broadcast-back, so
     # completed edge strips include them).
     escaped = inb & ~in_halo
-    eg_x, eg_y, eg_t, dropped = _escape_lane(gx, gy, t, escaped, esc_cap)
-    own = (
-        (eg_x >= row0) & (eg_x < row0 + tile_h)
-        & (eg_y >= col0) & (eg_y < col0 + tile_w)
-    )
-    elx = eg_x - row0 + halo
-    ely = eg_y - col0 + halo
-    elin = jnp.where(own, elx * W + ely, H * W)
-    tsum = tsum.reshape(-1).at[elin].add(
-        jnp.where(own, eg_t / 1e9, 0.0), mode="drop").reshape(H, W)
-    cnt = cnt.reshape(-1).at[elin].add(
-        own.astype(jnp.float32), mode="drop").reshape(H, W)
+    # The lane's compaction scatter, all_gather and image scatter-add
+    # cost ~hundreds of us/iteration on real hardware even when EMPTY
+    # (escapes are empty in steady state — the halo covers typical
+    # drift), so the whole lane runs under a cond gated on a REPLICATED
+    # any-escaped flag (psum over both mesh axes keeps the branch
+    # decision uniform, so the collective inside the taken branch stays
+    # SPMD-safe).
+    any_esc = lax.psum(jnp.sum(escaped.astype(jnp.int32)),
+                       (AX_X, AX_Y)) > 0
+
+    def _lane(args):
+        tsum, cnt = args
+        eg_x, eg_y, eg_t, dropped = _escape_lane(gx, gy, t, escaped,
+                                                 esc_cap)
+        own = (
+            (eg_x >= row0) & (eg_x < row0 + tile_h)
+            & (eg_y >= col0) & (eg_y < col0 + tile_w)
+        )
+        elx = eg_x - row0 + halo
+        ely = eg_y - col0 + halo
+        elin = jnp.where(own, elx * W + ely, H * W)
+        tsum = tsum.reshape(-1).at[elin].add(
+            jnp.where(own, eg_t / 1e9, 0.0), mode="drop").reshape(H, W)
+        cnt = cnt.reshape(-1).at[elin].add(
+            own.astype(jnp.float32), mode="drop").reshape(H, W)
+        return tsum, cnt, dropped
+
+    tsum, cnt, dropped = lax.cond(
+        any_esc, _lane, lambda a: (a[0], a[1], jnp.int32(0)),
+        (tsum, cnt))
 
     # Broadcast completed edge strips back so the box filter and Scharr at
     # tile edges read correct neighbour values (width: 1 for the Scharr ring
@@ -283,17 +301,30 @@ def _tiled_iteration(
     cnt = _halo_broadcast(cnt, halo, g, 0, AX_X)
     cnt = _halo_broadcast(cnt, halo, g, 1, AX_Y)
 
-    tsum = box_filter(tsum, scale)
-    cnt_f = box_filter(cnt, scale)
-    img = jnp.where(cnt_f >= 1, tsum / jnp.maximum(cnt_f, 1), 0.0)
+    if mode == "pallas":
+        # One VMEM-resident kernel for box + normalize + masked Scharr +
+        # the owned-window partial reductions (ops/pallas/fused_model.
+        # finish_local_call) — the XLA chain below measured ~1.3
+        # ms/iteration at a 850x1410 local image on v5e.
+        from better_flow_tpu.ops.pallas.fused_model import (
+            finish_local_call,
+        )
 
-    # Local stencil; only the owned region feeds the reductions.
-    gxg, gyg = masked_scharr(img)
-    own = jnp.zeros((H, W), bool).at[halo : halo + tile_h, halo : halo + tile_w].set(True)
-    img_own = jnp.where(own, img, 0.0)
-    gx_own = jnp.where(own, gxg, 0.0)
-    gy_own = jnp.where(own, gyg, 0.0)
-    p = model_compute_partial(img_own, gx_own, gy_own)
+        p = finish_local_call(tsum, cnt, scale, H, W,
+                              halo, halo + tile_h, halo, halo + tile_w)
+    else:
+        tsum = box_filter(tsum, scale)
+        cnt_f = box_filter(cnt, scale)
+        img = jnp.where(cnt_f >= 1, tsum / jnp.maximum(cnt_f, 1), 0.0)
+
+        # Local stencil; only the owned region feeds the reductions.
+        gxg, gyg = masked_scharr(img)
+        own = jnp.zeros((H, W), bool).at[
+            halo : halo + tile_h, halo : halo + tile_w].set(True)
+        img_own = jnp.where(own, img, 0.0)
+        gx_own = jnp.where(own, gxg, 0.0)
+        gy_own = jnp.where(own, gyg, 0.0)
+        p = model_compute_partial(img_own, gx_own, gy_own)
     # Shift row/col-weighted partials into global coordinates:
     off_r = jnp.float32(row0 - halo)
     off_c = jnp.float32(col0 - halo)

@@ -8,11 +8,14 @@ recording, reporting per-iteration and per-slice device cost for both.
 
 A 1-device mesh exercises compile + compute cost, NOT collectives: the
 halo ppermutes and the escape-lane all_gather are size-1-axis no-ops.
-The point is to anchor the BASELINE.md bandwidth model's "untiled ~260
-us/iter" with a measured number and to surface any real-hardware
-blockers in the tiled machinery (its splat is an XLA scatter-add — the
-collision-serialization cost the fused kernels avoid is part of what
-this measures).
+Measures BOTH tiled splat modes: "pallas" (windowed one-hot MXU splat +
+in-kernel finish — the production path on hardware) and "xla" (scatter
+splat + XLA image chain, kept as the interpret-free CPU path).  Round-5
+history at this protocol: first measurement 16,059 us/iter (per-call
+recompile, XLA) -> 4,455 (recompile fixed) -> 3,769 (pallas splat) ->
+1,937 (escape lane cond-gated) -> 554 us/iter (pallas finish) — parity
+with the untiled fused path at 1x1, so per-device image work now scales
+~1/N on real tiles.
 
     PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_tiled.py [n_events]
 """
@@ -83,11 +86,14 @@ def main():
                                          cfg_m, 1, 1)
         compensate_recording_tiled(d["x"], d["y"], d["t_ns"], cfg_m, mesh,
                                    halo=32, esc_cap=32768, prepared=prep_t)
-        t0 = time.perf_counter()
         out_t = compensate_recording_tiled(d["x"], d["y"], d["t_ns"],
                                            cfg_m, mesh, halo=32,
                                            esc_cap=32768, prepared=prep_t)
-        run_t = time.perf_counter() - t0
+        # stats["run_s"] is the checksum-forced device scan time — the
+        # apples-to-apples row vs the untiled stats (the call's wall
+        # additionally pays ~0.7 s of [S, cap] u/v fetch + the numpy
+        # first-wins accumulation, which the untiled path does device-side)
+        run_t = out_t["stats"]["run_s"]
         it_t = int(np.asarray(out_t["iters"]).sum())
         ok = ~(out_u["noise"] | out_t["noise"])
         du = float(np.median(np.abs(out_t["u"][ok] - out_u["u"][ok]))) \
