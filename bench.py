@@ -61,6 +61,7 @@ def main():
     # deviation, equal-or-better AEE vs ground truth).  See BASELINE.md
     # "Bench schedule note".
     opt = {"fast": OptimizerConfig.fast,
+           "fast_throughput": OptimizerConfig.fast_throughput,
            "fast_accurate": OptimizerConfig.fast_accurate,
            "reference": OptimizerConfig}[schedule]()
     cfg = PipelineConfig(optimizer=opt)
