@@ -71,6 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="one-shot batch-pipelined processing: staging of "
                         "the next slice batch overlaps device execution "
                         "(best wall-clock for a recording processed once)")
+    p.add_argument("--schedule", default="reference",
+                   choices=["reference", "fast", "fast_accurate",
+                            "fast_throughput"],
+                   help="optimizer step-size schedule: 'reference' is the "
+                        "C++ parity divider schedule (default — bit-"
+                        "faithful output); the fast presets trade "
+                        "documented, gate-tested accuracy bands for "
+                        "2.7-3.3x fewer iterations (OptimizerConfig "
+                        "docstrings; fast_throughput is translation-"
+                        "dominated streams only)")
     p.add_argument("--scale", type=int, default=3)
     p.add_argument("--max-iter", type=int, default=-1)
     p.add_argument("--max-events", type=int, default=50000,
@@ -92,7 +102,13 @@ def config_from_args(args) -> PipelineConfig:
             refresh_events=args.refresh_event_count,
             refresh_time_ns=from_sec(args.refresh_time),
         ),
-        optimizer=OptimizerConfig(scale=args.scale, max_iter=args.max_iter),
+        optimizer={
+            "reference": lambda **kw: OptimizerConfig(**kw),
+            "fast": OptimizerConfig.fast,
+            "fast_accurate": OptimizerConfig.fast_accurate,
+            "fast_throughput": OptimizerConfig.fast_throughput,
+        }[getattr(args, "schedule", "reference")](
+            scale=args.scale, max_iter=args.max_iter),
         stm_disable=args.stm_disable,
         accumulate=args.outfile is not None,
         generate_pictures=args.img,

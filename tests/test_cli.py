@@ -145,3 +145,31 @@ def test_cli_cold_pipeline(tmp_path):
     assert len(r["u"]) == 30_000
     ok = np.isfinite(r["u"])
     assert np.median(r["u"][ok]) != 0.0
+
+
+def test_cli_schedule_flag(tmp_path):
+    """--schedule selects the optimizer preset: the fast preset must
+    produce the same flow field as reference to the documented band in
+    materially less optimizer work (stderr line carries mean iters)."""
+    from better_flow_tpu.cli.motion_compensator import main
+    from better_flow_tpu.io.event_file import read_events_uv, write_events
+    from better_flow_tpu.io.synthetic import synthetic_events
+
+    d = synthetic_events(30_000, duration_s=0.3, res_x=48, res_y=64,
+                         vx=20.0, vy=-12.0, n_points=150, seed=6)
+    rec = str(tmp_path / "rec.txt")
+    write_events(rec, d["x"], d["y"], d["t_ns"], d["polarity"])
+    outs = {}
+    for sched in ("reference", "fast"):
+        out = str(tmp_path / f"{sched}.txt")
+        rc = main([rec, "--scan", "--schedule", sched,
+                   "--resolution", "48x64", "--quiet",
+                   "--max-events", "8000", "--refresh-event-count",
+                   "4000", "-o", out])
+        assert rc == 0
+        outs[sched] = read_events_uv(out)
+    ok = np.isfinite(outs["reference"]["u"]) & np.isfinite(outs["fast"]["u"])
+    speed = float(np.hypot(outs["reference"]["u"][ok],
+                           outs["reference"]["v"][ok]).mean())
+    du = np.abs(outs["fast"]["u"][ok] - outs["reference"]["u"][ok])
+    assert np.median(du) < 0.05 * speed, (np.median(du), speed)
